@@ -1,0 +1,85 @@
+"""Headline benchmark: FTRL steps/s on one chip (batched online game).
+
+Prints ONE JSON line:
+  {"metric": "ftrl_steps_per_s", "value": N, "unit": "steps/s",
+   "vs_baseline": N / 6.25e7}
+
+Baseline normalization: BASELINE.json's north star is >= 1e9 FTRL steps/s
+aggregate on a v5e-16 slice == 6.25e7 steps/s/chip with linear scaling, so
+``vs_baseline == 1.0`` means exactly on target for this single chip and
+larger is better.
+
+A "step" is one full online round for one sequence: action (scale +
+ball projection), prediction dot product, hinge loss, subgradient,
+accumulator update (fast_algorithms.py:99-112 semantics).  The measured
+program also includes the comparator replay epilogue, so the number is
+end-to-end regret evaluation throughput, not a stripped inner loop.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_tpu():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from online_convex_optimization_tpu.ops.pallas_step import (
+        SUBLANES, play_game_tiles)
+
+    # Size: B sequences of horizon T resident in HBM; K chained kernel
+    # launches amortize the relay/dispatch latency out of the measurement.
+    T = 1024
+    B = 16384
+    K = 16
+    rng = np.random.default_rng(0)
+    # Generate directly in tile layout (T, 8, B), rows pre-clipped.
+    z = rng.standard_normal((T, SUBLANES, B), dtype=np.float32)
+    z[:, 5:, :] = 0.0  # d = 5, padded to 8 sublanes
+    norms = np.sqrt(np.sum(z * z, axis=1, keepdims=True))
+    z *= 1.0 / np.maximum(norms, 1.0)
+    y = np.where(rng.random((T, B)) < 0.5, -1.0, 1.0).astype(np.float32)
+
+    z_dev = jax.device_put(jnp.asarray(z))
+    y_dev = jax.device_put(jnp.asarray(y))
+    eta0 = float(np.sqrt(2.0))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(z, y, *, k):
+        # Distinct eta0 per launch defeats CSE; the sum forces all k.
+        def body(i, acc):
+            eta_i = eta0 * (1.0 + 1e-6 * i.astype(jnp.float32))
+            return acc + play_game_tiles(z, y, eta_i, alg_flag=0)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((B,), jnp.float32))
+
+    np.asarray(run_k(z_dev, y_dev, k=K))  # compile + warm (host fetch)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run_k(z_dev, y_dev, k=K))  # fetch => true completion
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    steps = K * B * T
+    return steps / best
+
+
+def main():
+    value = _bench_tpu()
+    per_chip_target = 1e9 / 16.0  # v5e-16 aggregate target, per chip
+    print(json.dumps({
+        "metric": "ftrl_steps_per_s",
+        "value": value,
+        "unit": "steps/s",
+        "vs_baseline": value / per_chip_target,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Sharded scenario sweeps: the distributed replacement for the reference's
+nested Python loops (driver.py:87-115) and sequential g(T) estimation
+(algorithms.py:150-169).
+
+Programs here are ``shard_map`` over a ``(data, hyper)`` mesh: every device
+runs the batched ``lax.scan`` simulators on its local scenario shard, then
+cross-device statistics are reduced with XLA collectives over ICI:
+
+  - g(T): per-shard max regret  -> ``lax.pmax``   (algorithms.py:166-169)
+  - mean/CI: per-shard (n, sum, sum of squares) -> ``lax.psum``
+    (driver.py:114-127's mean +- 1.96*SEM, recast as sufficient statistics
+     so shards never materialize on one host)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.models.smart import simulate_smart_batch
+from online_convex_optimization_tpu.parallel.mesh import DATA_AXIS, HYPER_AXIS
+
+_BOTH = (DATA_AXIS, HYPER_AXIS)
+
+
+def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
+                       length=None):
+    """Max FTRL regret over a sharded scenario batch — the g(T) reduction.
+
+    ``z``: (B, T, d) with B divisible by the mesh size.  Returns a scalar,
+    replicated on all devices.
+    """
+    in_specs = (P(_BOTH), P(_BOTH))
+    if length is not None:
+        in_specs = in_specs + (P(_BOTH),)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
+             check_rep=False)
+    def run(*args):
+        if length is not None:
+            z_loc, y_loc, len_loc = args
+        else:
+            (z_loc, y_loc), len_loc = args, None
+        res = simulate_linear_batch(z_loc, y_loc, alg_flag, eta0, len_loc)
+        local_max = jnp.max(res.regret)
+        local_max = jax.lax.pmax(local_max, DATA_AXIS)
+        local_max = jax.lax.pmax(local_max, HYPER_AXIS)
+        return local_max
+
+    args = (z, y) if length is None else (z, y, length)
+    return run(*args)
+
+
+def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0, *, length=None):
+    """Per-shard regrets reduced to global (n, sum, sum_sq) via psum.
+
+    Returns the sufficient statistics from which mean and SEM follow
+    (driver.py:114-127) without gathering per-scenario results.
+    """
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(_BOTH), P(_BOTH)), out_specs=P(),
+             check_rep=False)
+    def run(z_loc, y_loc):
+        res = simulate_linear_batch(z_loc, y_loc, alg_flag, eta0, None)
+        r = res.regret
+        stats = jnp.stack([jnp.asarray(r.size, r.dtype), jnp.sum(r),
+                           jnp.sum(r * r)])
+        stats = jax.lax.psum(stats, DATA_AXIS)
+        stats = jax.lax.psum(stats, HYPER_AXIS)
+        return stats
+
+    return run(z, y)
+
+
+def sharded_smart_regrets(mesh: Mesh, z, y, theta_thresh, eta0, *,
+                          length=None, block_size: int = 128):
+    """SMART regrets computed shard-locally, returned still sharded.
+
+    theta_thresh / eta0 may be (B,) grids sharded with the batch — a
+    hyperparameter sweep rides the same program.
+    """
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(_BOTH), P(_BOTH), P(_BOTH), P(_BOTH)),
+             out_specs=P(_BOTH), check_rep=False)
+    def run(z_loc, y_loc, th_loc, eta_loc):
+        res = simulate_smart_batch(z_loc, y_loc, th_loc, eta_loc, None,
+                                   block_size=block_size)
+        return res.regret
+
+    B = z.shape[0]
+    theta_thresh = jnp.broadcast_to(jnp.asarray(theta_thresh, z.dtype), (B,))
+    eta0 = jnp.broadcast_to(jnp.asarray(eta0, z.dtype), (B,))
+    return run(z, y, theta_thresh, eta0)
+
+
+def mean_and_ci(stats, z_value: float = 1.96):
+    """mean +- z * SEM from (n, sum, sum_sq) sufficient statistics.
+
+    Matches driver.py:59-63's ddof=1 SEM.
+    """
+    n, s, ss = stats[0], stats[1], stats[2]
+    mean = s / n
+    var = jnp.maximum(ss - n * mean * mean, 0.0) / jnp.maximum(n - 1.0, 1.0)
+    sem = jnp.sqrt(var / n)
+    ci = jnp.where(n > 1.0, z_value * sem, 0.0)
+    return mean, ci
