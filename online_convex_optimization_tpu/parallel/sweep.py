@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
 from online_convex_optimization_tpu.models.smart import simulate_smart_batch
@@ -41,7 +41,7 @@ def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
         in_specs = in_specs + (P(_BOTH),)
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
-             check_rep=False)
+             check_vma=False)
     def run(*args):
         if length is not None:
             z_loc, y_loc, len_loc = args
@@ -66,7 +66,7 @@ def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0, *, length=None):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(_BOTH), P(_BOTH)), out_specs=P(),
-             check_rep=False)
+             check_vma=False)
     def run(z_loc, y_loc):
         res = simulate_linear_batch(z_loc, y_loc, alg_flag, eta0, None)
         r = res.regret
@@ -88,7 +88,7 @@ def sharded_smart_regrets(mesh: Mesh, z, y, theta_thresh, eta0, *,
     """
     @partial(shard_map, mesh=mesh,
              in_specs=(P(_BOTH), P(_BOTH), P(_BOTH), P(_BOTH)),
-             out_specs=P(_BOTH), check_rep=False)
+             out_specs=P(_BOTH), check_vma=False)
     def run(z_loc, y_loc, th_loc, eta_loc):
         res = simulate_smart_batch(z_loc, y_loc, th_loc, eta_loc, None,
                                    block_size=block_size)

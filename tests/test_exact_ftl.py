@@ -1,0 +1,133 @@
+"""Exact-FTL oracle: cross-validation against independent solvers.
+
+The reference solves these programs with CVXPY/ECOS (exact_ftl.py:119-128).
+Neither is in this image, so correctness is established against:
+  - scipy HiGHS on the LP reformulation (exact for linf/l1 balls);
+  - scipy SLSQP multi-start for the l2 ball (smooth-solver agreement);
+  - internal consistency: all-prefix solve vs single full solve.
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog, minimize
+
+from online_convex_optimization_tpu.models.exact_ftl import (
+    ExactFTL,
+    replay_exact_ftl,
+    run_ftl_exact,
+    run_ftrl,
+    simulate,
+)
+
+
+def _instance(T=60, d=5, seed=0, noise=0.3):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(T, d))
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=1, keepdims=True))
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    y = np.sign(z @ u + noise * rng.normal(size=T))
+    return z, y
+
+
+def _obj(z, y, x):
+    return 0.5 * np.sum(np.abs(z @ x - y))
+
+
+def _lp_solve(z, y, norm):
+    """Exact LP solution for linf (box) and l1 (cross-polytope) balls."""
+    T, d = z.shape
+    if norm == "linf":
+        c = np.concatenate([np.zeros(d), 0.5 * np.ones(T)])
+        A_ub = np.block([[z, -np.eye(T)], [-z, -np.eye(T)]])
+        b_ub = np.concatenate([y, -y])
+        bounds = [(-1, 1)] * d + [(0, None)] * T
+        res = linprog(c, A_ub=A_ub, b_ub=b_ub, bounds=bounds, method="highs")
+        return res.x[:d]
+    if norm == "l1":
+        # x = p - n with p, n >= 0 and sum(p + n) <= 1.
+        c = np.concatenate([np.zeros(2 * d), 0.5 * np.ones(T)])
+        A_res = np.block([[z, -z, -np.eye(T)], [-z, z, -np.eye(T)]])
+        b_res = np.concatenate([y, -y])
+        A_l1 = np.concatenate([np.ones(2 * d), np.zeros(T)])[None, :]
+        A_ub = np.vstack([A_res, A_l1])
+        b_ub = np.concatenate([b_res, [1.0]])
+        bounds = [(0, None)] * (2 * d + T)
+        res = linprog(c, A_ub=A_ub, b_ub=b_ub, bounds=bounds, method="highs")
+        return res.x[:d] - res.x[d:2 * d]
+    raise ValueError(norm)
+
+
+@pytest.mark.parametrize("norm", ["linf", "l1"])
+def test_full_solve_matches_highs_lp(norm):
+    z, y = _instance()
+    solver = ExactFTL(d=5, T_max=60, norm=norm, iters=8000, rho=3.0)
+    x = solver.solve_full(z, y)
+    x_lp = _lp_solve(z, y, norm)
+    assert _obj(z, y, x) <= _obj(z, y, x_lp) + 1e-4
+
+
+def test_full_solve_matches_slsqp_l2():
+    z, y = _instance(seed=1)
+    solver = ExactFTL(d=5, T_max=60, norm="l2", iters=3000)
+    x = solver.solve_full(z, y)
+    best = None
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        r = minimize(lambda v: _obj(z, y, v), 0.1 * rng.normal(size=5),
+                     constraints=[{"type": "ineq",
+                                   "fun": lambda v: 1 - np.dot(v, v)}],
+                     method="SLSQP", options={"maxiter": 500, "ftol": 1e-12})
+        if best is None or r.fun < best.fun:
+            best = r
+    assert _obj(z, y, x) == pytest.approx(best.fun, abs=1e-6)
+    assert np.linalg.norm(x) <= 1.0 + 1e-9
+
+
+def test_prefix_actions_consistent_with_full():
+    z, y = _instance(T=40, seed=3)
+    solver = ExactFTL(d=5, T_max=40, norm="l2", iters=3000)
+    actions = solver.prefix_actions(z, y)
+    assert actions.shape == (41, 5)
+    np.testing.assert_allclose(actions[0], 0.0)
+    x_full = solver.solve_full(z, y)
+    assert _obj(z, y, actions[-1]) == pytest.approx(_obj(z, y, x_full), abs=1e-5)
+    # Each prefix action is feasible and (weakly) beats the full-solution
+    # restricted to that prefix.
+    for p in (1, 10, 25, 40):
+        xp = actions[p]
+        assert np.linalg.norm(xp) <= 1.0 + 1e-6
+        obj_p = 0.5 * np.sum(np.abs(z[:p] @ xp - y[:p]))
+        obj_full = 0.5 * np.sum(np.abs(z[:p] @ x_full - y[:p]))
+        assert obj_p <= obj_full + 1e-4
+
+
+def test_replay_and_regret_shapes():
+    z, y = _instance(T=30, seed=4)
+    res, actions = run_ftl_exact(z, y, iters=1500, return_actions=True)
+    # Replaying the same actions reproduces the result.
+    res2 = replay_exact_ftl(z, y, actions)
+    assert res.cum_loss == pytest.approx(res2.cum_loss, abs=1e-12)
+    # FTRL against the shared comparator: both use actions[-1].
+    ftrl = run_ftrl(z, y, eta0=np.sqrt(2), comparator_action=actions[-1])
+    assert ftrl.comp_loss == pytest.approx(res.comp_loss, abs=1e-9)
+    # Exact FTL should never have (much) higher regret than FTRL here.
+    assert res.regret <= ftrl.regret + 1e-6
+
+
+def test_simulate_front_end_dispatch():
+    z, y = _instance(T=25, seed=5)
+    r1 = simulate(z, y, algo="ftl_exact")
+    r2 = simulate(z, y, algo="ftrl", eta0=1.0)
+    assert np.isfinite(r1.regret) and np.isfinite(r2.regret)
+    with pytest.raises(ValueError):
+        simulate(z, y, algo="nope")
+
+
+def test_bad_shapes_raise():
+    z, y = _instance(T=20, seed=6)
+    solver = ExactFTL(d=5, T_max=10)
+    with pytest.raises(ValueError):
+        solver.prefix_actions(z, y)  # longer than T_max
+    with pytest.raises(ValueError):
+        ExactFTL(d=3, T_max=20).prefix_actions(z, y)  # wrong d

@@ -1,0 +1,82 @@
+"""Multi-device scenario sweeps on the 8-virtual-device CPU mesh.
+
+Validates that shard_map programs (pmax / psum collectives over the
+(data, hyper) mesh) reproduce the single-device batched results exactly.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.models.smart import simulate_smart_batch
+from online_convex_optimization_tpu.parallel.mesh import make_mesh, scenario_sharding
+from online_convex_optimization_tpu.parallel.sweep import (
+    mean_and_ci,
+    sharded_max_regret,
+    sharded_regret_stats,
+    sharded_smart_regrets,
+)
+from online_convex_optimization_tpu.utils.stats import mean_ci
+
+
+def _batch(B, T=64, seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(B, T, 5))
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0)
+    return jnp.asarray(z), jnp.asarray(y)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 2)])
+def test_sharded_max_matches_local(shape):
+    mesh = make_mesh(*shape)
+    B = 16 * shape[0] * shape[1]
+    z, y = _batch(B)
+    got = float(sharded_max_regret(mesh, z, y, math.sqrt(2)))
+    want = float(jnp.max(simulate_linear_batch(z, y, 0, math.sqrt(2)).regret))
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_sharded_stats_match_local():
+    mesh = make_mesh(4, 2)
+    z, y = _batch(64, seed=1)
+    stats = sharded_regret_stats(mesh, z, y, 0, math.sqrt(2))
+    mean, ci = mean_and_ci(stats)
+    regs = np.asarray(simulate_linear_batch(z, y, 0, math.sqrt(2)).regret)
+    want_mean, want_ci = mean_ci(regs)
+    assert float(mean) == pytest.approx(want_mean, rel=1e-12)
+    assert float(ci) == pytest.approx(want_ci, rel=1e-9)
+
+
+def test_sharded_smart_grid_matches_local():
+    mesh = make_mesh(8, 1)
+    B = 32
+    z, y = _batch(B, seed=2)
+    thresh = jnp.asarray(np.linspace(0.2, 6.0, B))
+    got = np.asarray(sharded_smart_regrets(mesh, z, y, thresh, math.sqrt(2)))
+    want = np.asarray(
+        simulate_smart_batch(z, y, thresh, jnp.full((B,), math.sqrt(2),
+                                                    z.dtype)).regret)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_explicit_device_put_roundtrip():
+    """Placing the batch with a scenario sharding and computing with jit
+    (GSPMD path, not shard_map) also matches."""
+    mesh = make_mesh(4, 2)
+    z, y = _batch(32, seed=3)
+    sh = scenario_sharding(mesh)
+    z_s = jax.device_put(z, sh)
+    y_s = jax.device_put(y, sh)
+    res = simulate_linear_batch(z_s, y_s, 0, 1.0)
+    want = simulate_linear_batch(z, y, 0, 1.0)
+    np.testing.assert_allclose(np.asarray(res.regret),
+                               np.asarray(want.regret), atol=1e-12)
