@@ -1,0 +1,197 @@
+"""Per-case regret evaluation: the batched replacement for the reference's
+run/T/replicate nested loops (driver.py:70-129, exact_ftl_driver.py:120-206).
+
+For one case, ALL (run, T, replicate) scenarios are evaluated as padded
+device batches:
+
+  - sequences are generated host-side with the reference's exact seed
+    schedule (run_seed = base + 2025*(run+1); fresh sampler per run);
+  - horizons share one compiled program via padding to T_max + length
+    masks (so 10 horizon values don't mean 10 XLA compiles);
+  - FTRL and FTL ride one ``simulate_linear_batch`` call with a flag
+    vector; SMART(sqrt(2T)) and SMART(empirical g) ride one
+    ``simulate_smart_batch`` call with a threshold vector;
+  - aggregation reproduces the reference exactly: mean over replicates per
+    run, then mean +- 1.96*SEM across runs (driver.py:114-127).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Mapping, Tuple
+
+import numpy as np
+
+from online_convex_optimization_tpu.data.rng import run_seed_schedule
+from online_convex_optimization_tpu.data.sequences import stack_replicates
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.models.smart import simulate_smart_batch
+from online_convex_optimization_tpu.utils.stats import mean_ci
+
+ALGO_KEYS = ("FTRL", "FTL", "SMART", "EMP")  # driver.py:43
+
+Stats = Dict[str, Tuple[np.ndarray, np.ndarray]]
+
+
+def _pad_T(z: np.ndarray, y: np.ndarray, T_max: int):
+    T = z.shape[1]
+    if T == T_max:
+        return z, y
+    pz = np.zeros((z.shape[0], T_max, z.shape[2]), dtype=z.dtype)
+    py = np.zeros((y.shape[0], T_max), dtype=y.dtype)
+    pz[:, :T] = z
+    py[:, :T] = y
+    return pz, py
+
+
+def evaluate_stream_with_stats(
+    stream_builder: Callable,
+    T_grid,
+    g_emp: Mapping[int, float],
+    *,
+    runs: int = 1,
+    replicates: int = 1,
+    base_seed: int = 0,
+    eta0: float = math.sqrt(2.0),
+    dtype=np.float64,
+    batch_chunk: int = 4096,
+    stream_name: str = "",
+    progress: bool = True,
+) -> Stats:
+    """Mean regret and 95% CI per algorithm per horizon for one case."""
+    T_grid = [int(t) for t in T_grid]
+    T_max = max(T_grid)
+
+    # ---- build the full scenario batch host-side (seed-exact) ----
+    all_z, all_y, all_len, all_T = [], [], [], []
+    for run in range(runs):
+        sampler = stream_builder(run_seed=run_seed_schedule(base_seed, run))
+        for T in T_grid:
+            z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
+            z, y = _pad_T(z, y, T_max)
+            all_z.append(z)
+            all_y.append(y)
+            all_len.extend([T] * replicates)
+            all_T.extend([T] * replicates)
+    z = np.concatenate(all_z)                 # (B, T_max, d)
+    y = np.concatenate(all_y)                 # (B, T_max)
+    lengths = np.asarray(all_len)
+    B = z.shape[0]
+
+    thresh_theory = np.sqrt(2.0 * lengths).astype(dtype)
+    thresh_emp = np.asarray([g_emp[t] for t in all_T], dtype=dtype)
+
+    # ---- batched device evaluation (chunked) ----
+    regrets = {k: np.empty(B) for k in ALGO_KEYS}
+    iterator = range(0, B, batch_chunk)
+    if progress and B > batch_chunk:
+        try:
+            from tqdm import tqdm
+            iterator = tqdm(list(iterator),
+                            desc=f"{stream_name:>24} | B={B}")
+        except ImportError:
+            pass
+    for s in iterator:
+        e = min(s + batch_chunk, B)
+        n = e - s
+        # FTRL + FTL in one call: duplicate the chunk with a flag vector.
+        z2 = np.concatenate([z[s:e], z[s:e]])
+        y2 = np.concatenate([y[s:e], y[s:e]])
+        len2 = np.concatenate([lengths[s:e], lengths[s:e]])
+        flags = np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
+        lin = simulate_linear_batch(z2, y2, flags, eta0, len2)
+        lin_reg = np.asarray(lin.regret)
+        regrets["FTRL"][s:e] = lin_reg[:n]
+        regrets["FTL"][s:e] = lin_reg[n:]
+        # SMART theory + empirical thresholds in one call.
+        th2 = np.concatenate([thresh_theory[s:e], thresh_emp[s:e]])
+        sm = simulate_smart_batch(z2, y2, th2, eta0, len2)
+        sm_reg = np.asarray(sm.regret)
+        regrets["SMART"][s:e] = sm_reg[:n]
+        regrets["EMP"][s:e] = sm_reg[n:]
+
+    # ---- reference aggregation: reps -> run mean -> mean +- CI ----
+    stats: Stats = {}
+    nT = len(T_grid)
+    for k in ALGO_KEYS:
+        r = regrets[k].reshape(runs, nT, replicates)
+        run_means = r.mean(axis=2)            # (runs, nT)
+        means, cis = [], []
+        for ti in range(nT):
+            mu, ci = mean_ci(run_means[:, ti])
+            means.append(mu)
+            cis.append(ci)
+        stats[k] = (np.asarray(means), np.asarray(cis))
+    return stats
+
+
+def evaluate_stream_exact(
+    stream_builder: Callable,
+    T_grid,
+    *,
+    runs: int = 1,
+    replicates: int = 1,
+    base_seed: int = 0,
+    eta0: float = math.sqrt(2.0),
+    norm: str = "l2",
+    iters: int = 2000,
+    dtype=np.float64,
+    stream_name: str = "",
+    progress: bool = True,
+) -> Stats:
+    """Exact-FTL comparison mode (exact_ftl_driver.py:120-206): per
+    scenario, solve all prefixes once, then score FTRL (same exact
+    comparator) and exact FTL from the shared trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.exact_ftl import _admm_all_prefixes
+    from online_convex_optimization_tpu.ops.hinge import normalized_hinge
+
+    T_grid = [int(t) for t in T_grid]
+    labels = ("FTRL", "FTL (exact)")
+    by_T = {k: np.empty((runs, len(T_grid), replicates)) for k in labels}
+
+    prefix_solve = jax.jit(jax.vmap(
+        lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm, iters=iters)),
+        static_argnums=())
+
+    run_iter = range(runs)
+    if progress:
+        try:
+            from tqdm import tqdm
+            run_iter = tqdm(run_iter,
+                            desc=f"{stream_name:>24} | exact runs={runs}")
+        except ImportError:
+            pass
+
+    for run in run_iter:
+        sampler = stream_builder(run_seed=run_seed_schedule(base_seed, run))
+        for ti, T in enumerate(T_grid):
+            z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
+            zj, yj = jnp.asarray(z), jnp.asarray(y)
+            X = prefix_solve(zj, yj)                       # (reps, T, d)
+            # exact-FTL replay: action for round t is the prefix-t solution
+            # shifted by one (prefix 0 action = 0).
+            X_play = jnp.concatenate(
+                [jnp.zeros((X.shape[0], 1, X.shape[2]), X.dtype),
+                 X[:, :-1]], axis=1)
+            q = jnp.sum(zj * X_play, axis=-1)
+            cum_exact = jnp.sum(normalized_hinge(q, yj), axis=-1)
+            q_c = jnp.einsum("btd,bd->bt", zj, X[:, -1])
+            comp = jnp.sum(normalized_hinge(q_c, yj), axis=-1)
+            by_T["FTL (exact)"][run, ti] = np.asarray(cum_exact - comp)
+            # FTRL with the shared exact comparator.
+            lin = simulate_linear_batch(zj, yj, 0, eta0)
+            by_T["FTRL"][run, ti] = np.asarray(lin.cum_loss) - np.asarray(comp)
+
+    stats: Stats = {}
+    for k in labels:
+        run_means = by_T[k].mean(axis=2)
+        means, cis = [], []
+        for ti in range(len(T_grid)):
+            mu, ci = mean_ci(run_means[:, ti])
+            means.append(mu)
+            cis.append(ci)
+        stats[k] = (np.asarray(means), np.asarray(cis))
+    return stats

@@ -1,0 +1,106 @@
+"""Experiment layer: driver pipeline, g(T) checkpointing, aggregation parity.
+
+The batched evaluator must reproduce the reference's loop-based aggregation
+(mean over replicates per run, then mean +- 1.96*SEM across runs) exactly,
+and the g(T) table must match the sequential golden estimator.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from online_convex_optimization_tpu.data.sequences import CASES
+from online_convex_optimization_tpu.experiments.config import (
+    ExperimentConfig,
+    config_from_args,
+)
+from online_convex_optimization_tpu.experiments.evaluate import (
+    evaluate_stream_with_stats,
+)
+from online_convex_optimization_tpu.experiments.gt import estimate_g
+from online_convex_optimization_tpu.testing.golden import (
+    golden_empirical_thresholds,
+    golden_simulate_alg,
+    golden_simulate_smart,
+)
+from online_convex_optimization_tpu.data.rng import run_seed_schedule
+
+
+def test_estimate_g_matches_golden(tmp_path):
+    grid = [60, 120]
+    cache = str(tmp_path / "g.json")
+    got = estimate_g(grid, runs=12, base_seed=0, cache_path=cache)
+    want = golden_empirical_thresholds(grid, runs=12, base_seed=0)
+    for T in grid:
+        assert got[T] == pytest.approx(want[T], abs=1e-9)
+    # Cache resume: a second call must not recompute (poison by editing).
+    with open(cache) as f:
+        data = json.load(f)
+    data["60"] = 123.0
+    with open(cache, "w") as f:
+        json.dump(data, f)
+    again = estimate_g(grid, runs=12, base_seed=0, cache_path=cache)
+    assert again[60] == 123.0  # came from the checkpoint, not recompute
+
+
+def test_evaluate_matches_reference_loop_aggregation():
+    """Batched evaluator == explicit nested reference-style loops."""
+    title = "Massart noise 10%"
+    builder = CASES[title]
+    T_grid = [50, 90]
+    runs, reps = 3, 2
+    g_emp = {50: 2.0, 90: 3.0}
+    eta0 = math.sqrt(2.0)
+
+    stats = evaluate_stream_with_stats(
+        builder, T_grid, g_emp, runs=runs, replicates=reps, base_seed=0,
+        progress=False)
+
+    # Reference-style loops over the golden oracle.
+    from online_convex_optimization_tpu.utils.stats import mean_ci
+    by_T = {k: [[] for _ in T_grid] for k in ("FTRL", "FTL", "SMART", "EMP")}
+    for run in range(runs):
+        sampler = builder(run_seed=run_seed_schedule(0, run))
+        for ti, T in enumerate(T_grid):
+            vals = {k: [] for k in by_T}
+            for rep in range(reps):
+                z, y, _ = sampler(T, rep=rep)
+                vals["FTRL"].append(golden_simulate_alg(z, y, 0, eta0))
+                vals["FTL"].append(golden_simulate_alg(z, y, 1, eta0))
+                vals["SMART"].append(
+                    golden_simulate_smart(z, y, math.sqrt(2 * T), eta0))
+                vals["EMP"].append(
+                    golden_simulate_smart(z, y, g_emp[T], eta0))
+            for k in by_T:
+                by_T[k][ti].append(float(np.mean(vals[k])))
+
+    for k in by_T:
+        for ti in range(len(T_grid)):
+            mu, ci = mean_ci(by_T[k][ti])
+            assert stats[k][0][ti] == pytest.approx(mu, abs=1e-6), (k, ti)
+            assert stats[k][1][ti] == pytest.approx(ci, abs=1e-6), (k, ti)
+
+
+def test_driver_end_to_end(tmp_path):
+    from online_convex_optimization_tpu.experiments.driver import run_experiment
+    cfg = ExperimentConfig(t_min=50, t_max=100, t_step=50, g_runs=5,
+                           runs_override=2, replicates_override=2,
+                           out_dir=str(tmp_path), dpi=60)
+    results = run_experiment(cfg)
+    assert set(results["stats"]) == set(CASES)
+    assert os.path.exists(tmp_path / "results.json")
+    assert os.path.exists(tmp_path / "empirical_g_T.png")
+    assert os.path.exists(tmp_path / "algorithm_comparison.png")
+
+
+def test_config_cli_round_trip():
+    cfg = config_from_args(["--t-max", "300", "--g-runs", "7", "--exact",
+                            "--cases", "Label flips"])
+    assert cfg.t_max == 300 and cfg.g_runs == 7 and cfg.exact
+    assert cfg.T_grid == (100, 200, 300)
+    assert cfg.cases == ("Label flips",)
+    # cache key is sensitive to the knobs that define g(T)
+    assert cfg.g_cache_key() != ExperimentConfig().g_cache_key()
