@@ -30,33 +30,33 @@ def _bench_tpu():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
-    from online_convex_optimization_tpu.ops.pallas_step import (
-        SUBLANES, play_game_tiles)
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        ftrl_scales, regrets_packed)
 
-    # Size: B sequences of horizon T resident in HBM; K chained kernel
-    # launches amortize the relay/dispatch latency out of the measurement.
+    # 131072 sequences of horizon 1024 resident in HBM (packed kernel
+    # layout (T, d, 8, lanes)); K chained launches amortize relay/dispatch
+    # latency out of the measurement (block_until_ready is async through
+    # the axon relay — a host fetch is the only honest fence).
     T = 1024
-    B = 16384
-    K = 16
+    LB = 16384          # lane-batch; total sequences = 8 * LB
+    K = 8
     rng = np.random.default_rng(0)
-    # Generate directly in tile layout (T, 8, B), rows pre-clipped.
-    z = rng.standard_normal((T, SUBLANES, B), dtype=np.float32)
-    z[:, 5:, :] = 0.0  # d = 5, padded to 8 sublanes
-    norms = np.sqrt(np.sum(z * z, axis=1, keepdims=True))
-    z *= 1.0 / np.maximum(norms, 1.0)
-    y = np.where(rng.random((T, B)) < 0.5, -1.0, 1.0).astype(np.float32)
+    z = rng.standard_normal((T, 5, 8, LB), dtype=np.float32)
+    z /= np.maximum(np.sqrt(np.sum(z * z, axis=1, keepdims=True)), 1.0)
+    y = np.where(rng.random((T, 8, LB)) < 0.5, -1.0, 1.0).astype(np.float32)
 
     z_dev = jax.device_put(jnp.asarray(z))
     y_dev = jax.device_put(jnp.asarray(y))
-    eta0 = float(np.sqrt(2.0))
+    scales = ftrl_scales(T, float(np.sqrt(2.0)))
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(z, y, *, k):
-        # Distinct eta0 per launch defeats CSE; the sum forces all k.
+        # Distinct scales per launch defeat CSE; the sum forces all k.
         def body(i, acc):
-            eta_i = eta0 * (1.0 + 1e-6 * i.astype(jnp.float32))
-            return acc + play_game_tiles(z, y, eta_i, alg_flag=0)
-        return jax.lax.fori_loop(0, k, body, jnp.zeros((B,), jnp.float32))
+            sc = scales * (1.0 + 1e-6 * i.astype(jnp.float32))
+            return acc + regrets_packed(z, y, sc, alg_flag=0)
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros((8, LB), jnp.float32))
 
     np.asarray(run_k(z_dev, y_dev, k=K))  # compile + warm (host fetch)
 
@@ -66,7 +66,7 @@ def _bench_tpu():
         np.asarray(run_k(z_dev, y_dev, k=K))  # fetch => true completion
         times.append(time.perf_counter() - t0)
     best = min(times)
-    steps = K * B * T
+    steps = K * 8 * LB * T
     return steps / best
 
 
