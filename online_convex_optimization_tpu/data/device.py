@@ -1,0 +1,72 @@
+"""On-device sequence generation (jax.random) — the throughput path.
+
+The host-NumPy builders in ``sequences.py`` are bit-exact with the
+reference's PCG64 streams and exist for parity runs; they cannot feed a pod
+(10^6 sequences x T=10^3 is ~20 GB of host->device traffic per sweep).
+This module generates the same *distributions* directly on device with
+``jax.random`` (threefry), shardable by passing per-shard keys:
+
+  - g(T)-style instances: clipped Gaussian rows + Rademacher labels
+    (algorithms.py:155-163's distribution, not its bitstream)
+  - separable / Massart-noise streams (sequence_generation.py:54-90)
+  - direct generation in the packed (T, d, 8, lanes) kernel layout so the
+    v2 Pallas game kernel consumes it with zero reshuffling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from online_convex_optimization_tpu.ops.pallas_game import LANES, SUBLANES
+
+
+def _clip_rows(z: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise clip to the unit ball: z /= max(||z||, 1)."""
+    norms = jnp.sqrt(jnp.sum(z * z, axis=-1, keepdims=True))
+    return z / jnp.maximum(norms, 1.0)
+
+
+@partial(jax.jit, static_argnames=("B", "T", "d"))
+def random_game_batch(key, B: int, T: int, d: int = 5):
+    """g(T)-style worst-case-estimation batch: (B, T, d) z and (B, T) y."""
+    kz, ky = jax.random.split(key)
+    z = _clip_rows(jax.random.normal(kz, (B, T, d), jnp.float32))
+    y = jax.random.rademacher(ky, (B, T), jnp.float32)
+    return z, y
+
+
+@partial(jax.jit, static_argnames=("B", "T", "d", "noise_p"))
+def separable_stream_batch(key, B: int, T: int, d: int = 5,
+                           noise_p: float = 0.0):
+    """Separable (optionally Massart-noisy) streams with per-sequence
+    ground truths; returns (z, y, u)."""
+    ku, kz, kf = jax.random.split(key, 3)
+    u = jax.random.normal(ku, (B, d), jnp.float32)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-30)
+    z = _clip_rows(jax.random.normal(kz, (B, T, d), jnp.float32))
+    q = jnp.einsum("btd,bd->bt", z, u)
+    y = jnp.where(q >= 0.0, 1.0, -1.0)
+    if noise_p > 0.0:
+        flips = jax.random.bernoulli(kf, noise_p, (B, T))
+        y = jnp.where(flips, -y, y)
+    return z, y, u
+
+
+@partial(jax.jit, static_argnames=("T", "lane_batch", "d"))
+def random_packed_batch(key, T: int, lane_batch: int, d: int = 5):
+    """Generate directly in the v2 kernel layout: (T, d, 8, lane_batch) z
+    and (T, 8, lane_batch) y — 8 * lane_batch sequences total."""
+    kz, ky = jax.random.split(key)
+    z = jax.random.normal(kz, (T, d, SUBLANES, lane_batch), jnp.float32)
+    norms = jnp.sqrt(jnp.sum(z * z, axis=1, keepdims=True))
+    z = z / jnp.maximum(norms, 1.0)
+    y = jax.random.rademacher(ky, (T, SUBLANES, lane_batch), jnp.float32)
+    return z, y
+
+
+def shard_keys(key, n_shards: int):
+    """Independent per-shard keys for multi-host / multi-device generation."""
+    return jax.random.split(key, n_shards)

@@ -1,0 +1,60 @@
+"""Hyperparameter sweep front-ends (BASELINE.json config 2: "FTRL with L2
+regularization, learning-rate sweep over 64 settings via vmap").
+
+The reference has no sweep machinery at all — eta0 and the SMART threshold
+are constants (algorithms.py:123-125).  Here grids are first-class batch
+axes: a sweep is ONE compiled program evaluating the (sequence x setting)
+cross product, optionally sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.models.smart import simulate_smart_batch
+
+
+def _cross(z, y, n_grid):
+    """Tile B sequences n_grid times -> (B*n_grid, ...) cross product."""
+    B = z.shape[0]
+    z_rep = jnp.repeat(z, n_grid, axis=0)
+    y_rep = jnp.repeat(y, n_grid, axis=0)
+    return z_rep, y_rep, B
+
+
+def ftrl_eta_sweep(z, y, eta_grid, *, alg_flag: int = 0,
+                   length: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Regret of every (sequence, eta0) pair.
+
+    Args:
+      z: (B, T, d); y: (B, T); eta_grid: (E,).
+    Returns: (B, E) regrets.
+    """
+    z = jnp.asarray(z)
+    y = jnp.asarray(y)
+    eta_grid = jnp.asarray(eta_grid, z.dtype)
+    E = eta_grid.shape[0]
+    z_rep, y_rep, B = _cross(z, y, E)
+    etas = jnp.tile(eta_grid, B)
+    len_rep = None if length is None else jnp.repeat(jnp.asarray(length), E)
+    res = simulate_linear_batch(z_rep, y_rep, alg_flag, etas, len_rep)
+    return res.regret.reshape(B, E)
+
+
+def smart_threshold_sweep(z, y, thresh_grid, *, eta0: float,
+                          length: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Regret of every (sequence, theta_thresh) pair -> (B, G)."""
+    z = jnp.asarray(z)
+    y = jnp.asarray(y)
+    thresh_grid = jnp.asarray(thresh_grid, z.dtype)
+    G = thresh_grid.shape[0]
+    z_rep, y_rep, B = _cross(z, y, G)
+    ths = jnp.tile(thresh_grid, B)
+    etas = jnp.full((B * G,), eta0, z.dtype)
+    len_rep = None if length is None else jnp.repeat(jnp.asarray(length), G)
+    res = simulate_smart_batch(z_rep, y_rep, ths, etas, len_rep)
+    return res.regret.reshape(B, G)
