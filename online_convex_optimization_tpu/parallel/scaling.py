@@ -1,0 +1,100 @@
+"""Scaling measurement harness: steps/s at 1 chip / 1 host / N hosts.
+
+BASELINE.md requires steps/s scaling efficiency measured across mesh
+sizes.  ``measure_scaling`` runs the same sharded FTRL sweep on growing
+device subsets and reports aggregate and per-device throughput plus
+efficiency vs. the single-device run.  On a pod each host calls this with
+its local view (jax.distributed already initialized); in the CPU test
+harness virtual devices exercise the same code path.
+
+Timing note: through this environment's TPU relay, ``block_until_ready``
+does not actually fence execution — a host transfer does.  ``_time`` pulls
+one scalar to host per measurement.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.parallel.mesh import DATA_AXIS, HYPER_AXIS, make_mesh
+
+
+@dataclass(frozen=True)
+class ScalePoint:
+    n_devices: int
+    steps_per_s: float
+    steps_per_s_per_device: float
+    efficiency: float  # vs the smallest measured mesh
+
+
+def _sweep_program(mesh, B_per_dev: int, T: int, d: int, eta0: float,
+                   reps: int):
+    """One timed unit: ``reps`` chained sharded FTRL batches -> max regret."""
+    n = mesh.size
+    B = B_per_dev * n
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P((DATA_AXIS, HYPER_AXIS)), P((DATA_AXIS, HYPER_AXIS))),
+             out_specs=P(), check_vma=False)
+    def run_shard(z_loc, y_loc):
+        def body(i, acc):
+            eta = eta0 * (1.0 + 1e-6 * i.astype(z_loc.dtype))
+            res = simulate_linear_batch(z_loc, y_loc, 0, eta)
+            return acc + jnp.max(res.regret)
+        acc = jax.lax.fori_loop(0, reps, body, jnp.zeros((), z_loc.dtype))
+        acc = jax.lax.pmax(acc, DATA_AXIS)
+        return jax.lax.pmax(acc, HYPER_AXIS)
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0).astype(np.float32)
+    from online_convex_optimization_tpu.parallel.mesh import scenario_sharding
+    sh = scenario_sharding(mesh)
+    z_dev = jax.device_put(jnp.asarray(z), sh)
+    y_dev = jax.device_put(jnp.asarray(y), sh)
+    fn = jax.jit(run_shard)
+    return fn, (z_dev, y_dev), B * T * reps
+
+
+def _time(fn, args, runs: int = 3) -> float:
+    np.asarray(fn(*args))  # compile + warm, fenced by host fetch
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_scaling(device_counts: Optional[Sequence[int]] = None, *,
+                    B_per_dev: int = 1024, T: int = 256, d: int = 5,
+                    eta0: float = float(np.sqrt(2.0)),
+                    reps: int = 4) -> List[ScalePoint]:
+    """Measure sharded FTRL throughput for each device count."""
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_avail]
+    points: List[ScalePoint] = []
+    base_per_dev = None
+    for n in device_counts:
+        mesh = make_mesh(n, 1)
+        fn, args, steps = _sweep_program(mesh, B_per_dev, T, d, eta0, reps)
+        secs = _time(fn, args)
+        sps = steps / secs
+        per_dev = sps / n
+        if base_per_dev is None:
+            base_per_dev = per_dev
+        points.append(ScalePoint(
+            n_devices=n, steps_per_s=sps, steps_per_s_per_device=per_dev,
+            efficiency=per_dev / base_per_dev))
+    return points

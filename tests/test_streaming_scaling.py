@@ -1,0 +1,67 @@
+"""Streaming chunked game == one-shot scan; scaling harness runs on the
+virtual mesh."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.models.streaming import StreamingGame
+from online_convex_optimization_tpu.parallel.scaling import measure_scaling
+
+
+def _batch(B=3, T=120, seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(B, T, 5))
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0)
+    return z, y
+
+
+def _chunks(z, y, ct):
+    # time-major chunk feed
+    z_tm = np.swapaxes(z, 0, 1)
+    y_tm = np.swapaxes(y, 0, 1)
+    for s in range(0, z_tm.shape[0], ct):
+        yield z_tm[s:s + ct], y_tm[s:s + ct]
+
+
+@pytest.mark.parametrize("alg_flag", [0, 1])
+@pytest.mark.parametrize("ct", [30, 120])
+def test_streaming_matches_oneshot(alg_flag, ct):
+    z, y = _batch()
+    game = StreamingGame(B=3, d=5, alg_flag=alg_flag, eta0=math.sqrt(2),
+                         dtype=jnp.float64)
+    for zc, yc in _chunks(z, y, ct):
+        game.feed(zc, yc)
+    res = game.result(_chunks(z, y, ct))
+    want = simulate_linear_batch(z, y, alg_flag, math.sqrt(2))
+    np.testing.assert_allclose(np.asarray(res.regret),
+                               np.asarray(want.regret), atol=1e-9)
+
+
+def test_streaming_checkpoint_resume():
+    z, y = _batch(seed=5)
+    # Run halfway, checkpoint, resume in a NEW game, finish.
+    g1 = StreamingGame(B=3, d=5, alg_flag=0, eta0=1.0, dtype=jnp.float64)
+    feed = list(_chunks(z, y, 40))
+    g1.feed(*feed[0])
+    saved = g1.carry_state()
+
+    g2 = StreamingGame(B=3, d=5, alg_flag=0, eta0=1.0, dtype=jnp.float64)
+    g2.resume(saved)
+    for zc, yc in feed[1:]:
+        g2.feed(zc, yc)
+    res = g2.result(iter(feed))
+    want = simulate_linear_batch(z, y, 0, 1.0)
+    np.testing.assert_allclose(np.asarray(res.regret),
+                               np.asarray(want.regret), atol=1e-9)
+
+
+def test_scaling_harness_virtual_mesh():
+    points = measure_scaling([1, 2, 4], B_per_dev=64, T=64, reps=1)
+    assert [p.n_devices for p in points] == [1, 2, 4]
+    assert all(p.steps_per_s > 0 for p in points)
+    assert points[0].efficiency == 1.0
