@@ -36,6 +36,8 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "requires_tpu: needs a real TPU device (skipped on CPU harness)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
 
 
 def pytest_collection_modifyitems(config, items):
