@@ -1,0 +1,128 @@
+"""Secondary benchmark suite (the headline lives in bench.py).
+
+Measures every major compute path on the current backend and appends
+JSON-line records to BENCH_DETAILS.jsonl:
+
+  - pallas_v2      : fused game kernel incl. comparator (steps/s)
+  - xla_scan       : batched lax.scan game (steps/s)
+  - smart          : full SMART (two scans + prefix matmul) (steps/s)
+  - eta_sweep      : 64-point learning-rate sweep (seq*steps*settings/s)
+  - exact_prefix   : all-prefix ADMM (prefix solves/s)
+
+Run:  python bench_suite.py [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _fetch_time(fn, runs=3):
+    np.asarray(fn())
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true",
+                        help="CPU-sized shapes for smoke runs")
+    parser.add_argument("--out", default="BENCH_DETAILS.jsonl")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+    from online_convex_optimization_tpu.models.smart import simulate_smart_batch
+    from online_convex_optimization_tpu.models.sweep_api import ftrl_eta_sweep
+    from online_convex_optimization_tpu.models.exact_ftl import _admm_all_prefixes
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        ftrl_scales, regrets_packed)
+    from online_convex_optimization_tpu.utils.logging_utils import log_metrics
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    small = args.small or not on_tpu
+
+    records = []
+    rng = np.random.default_rng(0)
+
+    # --- pallas v2 (TPU only) ---
+    if on_tpu:
+        T, LB, K = 1024, 16384, 8
+        z = rng.standard_normal((T, 5, 8, LB), dtype=np.float32)
+        z /= np.maximum(np.sqrt((z * z).sum(1, keepdims=True)), 1.0)
+        y = np.where(rng.random((T, 8, LB)) < 0.5, -1, 1).astype(np.float32)
+        zd = jax.device_put(jnp.asarray(z))
+        yd = jax.device_put(jnp.asarray(y))
+        scales = ftrl_scales(T, np.sqrt(2.0))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_k(z, y, *, k):
+            def body(i, acc):
+                sc = scales * (1.0 + 1e-6 * i.astype(jnp.float32))
+                return acc + regrets_packed(z, y, sc, alg_flag=0)
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((8, LB), jnp.float32))
+
+        secs = _fetch_time(lambda: run_k(zd, yd, k=K)) / K
+        records.append({"metric": "pallas_v2_steps_per_s",
+                        "value": 8 * LB * T / secs, "unit": "steps/s"})
+        del zd, yd
+
+    # --- xla scan / smart / sweep / exact (any backend) ---
+    B, T = (256, 256) if small else (8192, 1024)
+    z = rng.standard_normal((B, T, 5)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1, 1).astype(np.float32)
+    zd = jax.device_put(jnp.asarray(z))
+    yd = jax.device_put(jnp.asarray(y))
+
+    secs = _fetch_time(
+        lambda: simulate_linear_batch(zd, yd, 0, 1.414, unroll=8).regret)
+    records.append({"metric": "xla_scan_steps_per_s", "value": B * T / secs,
+                    "unit": "steps/s"})
+
+    th = jnp.full((B,), np.sqrt(2.0 * T), jnp.float32)
+    et = jnp.full((B,), np.sqrt(2.0), jnp.float32)
+    secs = _fetch_time(
+        lambda: simulate_smart_batch(zd, yd, th, et).regret)
+    records.append({"metric": "smart_steps_per_s", "value": B * T / secs,
+                    "unit": "steps/s",
+                    "note": "includes O(T^2 d) prefix matmul"})
+
+    Bs = 32 if small else 512
+    grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
+    secs = _fetch_time(lambda: ftrl_eta_sweep(zd[:Bs], yd[:Bs], grid))
+    records.append({"metric": "eta_sweep64_seqsteps_per_s",
+                    "value": Bs * 64 * T / secs, "unit": "seq*steps/s"})
+
+    Tp = 128 if small else 512
+    Bp = 4 if small else 32
+    solve = jax.jit(jax.vmap(
+        lambda zz, yy: _admm_all_prefixes(zz, yy, norm="l2", iters=600)))
+    secs = _fetch_time(lambda: solve(zd[:Bp, :Tp], yd[:Bp, :Tp]))
+    records.append({"metric": "exact_prefix_solves_per_s",
+                    "value": Bp * Tp / secs, "unit": "prefix solves/s",
+                    "note": "600-iteration batched ADMM"})
+
+    for r in records:
+        r["backend"] = backend
+        print(r)
+        log_metrics(args.out, r)
+
+
+if __name__ == "__main__":
+    main()
