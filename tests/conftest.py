@@ -14,7 +14,10 @@ import sys
 
 # Force CPU: the harness environment pins JAX_PLATFORMS to the remote TPU
 # relay, which would silently route every test compile through the tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# OCO_TESTS_TPU=1 opts into the real device (for `-m requires_tpu` runs).
+_USE_TPU = os.environ.get("OCO_TESTS_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -27,8 +30,9 @@ import jax  # noqa: E402
 # The env write above can come too late: pytest plugins (jaxtyping) import
 # jax before conftest runs, freezing JAX_PLATFORMS=axon (the remote TPU
 # relay) into the config.  The config update below is authoritative.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
