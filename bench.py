@@ -33,20 +33,19 @@ def _bench_tpu():
     from online_convex_optimization_tpu.ops.pallas_game import (
         ftrl_scales, regrets_packed)
 
+    from online_convex_optimization_tpu.data.device import random_packed_batch
+
     # 131072 sequences of horizon 1024 resident in HBM (packed kernel
     # layout (T, d, 8, lanes)); K chained launches amortize relay/dispatch
     # latency out of the measurement (block_until_ready is async through
-    # the axon relay — a host fetch is the only honest fence).
+    # the axon relay — a host fetch is the only honest fence).  Data is
+    # generated on device: host->device of 2.7 GB through the relay would
+    # dominate wall time and bench nothing.
     T = 1024
     LB = 16384          # lane-batch; total sequences = 8 * LB
     K = 8
-    rng = np.random.default_rng(0)
-    z = rng.standard_normal((T, 5, 8, LB), dtype=np.float32)
-    z /= np.maximum(np.sqrt(np.sum(z * z, axis=1, keepdims=True)), 1.0)
-    y = np.where(rng.random((T, 8, LB)) < 0.5, -1.0, 1.0).astype(np.float32)
-
-    z_dev = jax.device_put(jnp.asarray(z))
-    y_dev = jax.device_put(jnp.asarray(y))
+    z_dev, y_dev = random_packed_batch(jax.random.key(0), T, LB)
+    jax.block_until_ready((z_dev, y_dev))
     scales = ftrl_scales(T, float(np.sqrt(2.0)))
 
     @functools.partial(jax.jit, static_argnames=("k",))

@@ -105,29 +105,39 @@ def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("alg_flag", "chunk_t", "unroll",
-                                    "interpret"))
+                                    "lanes_per_program", "interpret"))
 def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
                 *, alg_flag: int = 0, chunk_t: int = 256, unroll: int = 4,
-                interpret: bool = False):
+                lanes_per_program: int = 4 * LANES, interpret: bool = False):
     """Run the online game on packed inputs.
 
     Args:
       z_pack: (T, d, 8, B) f32, B % 128 == 0, T % chunk_t == 0.
       y_pack: (T, 8, B) f32 (zero rows are inert padding).
       scales: (T,) f32 per-round FTRL scale -(eta0/sqrt(max(1,t))).
+      lanes_per_program: width each grid program owns; >128 interleaves
+        multiple independent lane-tiles per op to hide the per-step
+        dependency-chain latency (pick chunk_t so the z block stays within
+        the VMEM budget: ct * d * 8 * lanes * 4B * 2 buffers < ~12 MB).
     Returns:
       (cum_loss (8, B), theta (d, 8, B)).
     """
     T, d, S, B = z_pack.shape
-    assert S == SUBLANES and B % LANES == 0
-    ct = min(chunk_t, T)
+    lanes = min(lanes_per_program, B)
+    assert S == SUBLANES and B % lanes == 0
+    # Keep the double-buffered z block inside the VMEM budget:
+    # 2 * ct * d * 8 * lanes * 4B <~ 11 MB (rounded down to a power of 2).
+    vmem_budget = 11 * 1024 * 1024
+    bound = max(vmem_budget // (2 * d * SUBLANES * lanes * 4), 8)
+    bound = 1 << (bound.bit_length() - 1)
+    ct = min(chunk_t, T, bound)
     while T % ct:
         ct //= 2
     unroll = min(unroll, ct)
     while ct % unroll:
         unroll //= 2
     nchunks = T // ct
-    nb = B // LANES
+    nb = B // lanes
 
     kernel = functools.partial(_game_kernel, ct=ct, d=d, nchunks=nchunks,
                                alg_flag=alg_flag, unroll=unroll)
@@ -135,16 +145,16 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
         num_scalar_prefetch=1,  # scales
         grid=(nb, nchunks),
         in_specs=[
-            pl.BlockSpec((ct, d, SUBLANES, LANES), lambda i, j, s: (j, 0, 0, i)),
-            pl.BlockSpec((ct, SUBLANES, LANES), lambda i, j, s: (j, 0, i)),
+            pl.BlockSpec((ct, d, SUBLANES, lanes), lambda i, j, s: (j, 0, 0, i)),
+            pl.BlockSpec((ct, SUBLANES, lanes), lambda i, j, s: (j, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda i, j, s: (0, i)),
-            pl.BlockSpec((d, SUBLANES, LANES), lambda i, j, s: (0, 0, i)),
+            pl.BlockSpec((SUBLANES, lanes), lambda i, j, s: (0, i)),
+            pl.BlockSpec((d, SUBLANES, lanes), lambda i, j, s: (0, 0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),
         ],
     )
     cum, theta = pl.pallas_call(
@@ -168,13 +178,15 @@ def ftrl_scales(T: int, eta0: float) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("alg_flag", "chunk_t", "unroll",
-                                             "interpret"))
+                                             "lanes_per_program", "interpret"))
 def regrets_packed(z_pack, y_pack, scales, *, alg_flag: int = 0,
                    chunk_t: int = 256, unroll: int = 4,
+                   lanes_per_program: int = 4 * LANES,
                    interpret: bool = False):
     """cum/theta from the kernel + comparator epilogue => regrets (8, B)."""
     cum, theta = play_packed(z_pack, y_pack, scales, alg_flag=alg_flag,
                              chunk_t=chunk_t, unroll=unroll,
+                             lanes_per_program=lanes_per_program,
                              interpret=interpret)
     nth = jnp.sum(theta * theta, axis=0, keepdims=False)         # (8, B)
     eff = jnp.where(nth > 0.0, -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
