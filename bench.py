@@ -45,7 +45,6 @@ def _bench_tpu():
     LB = 16384          # lane-batch; total sequences = 8 * LB
     K = 8
     z_dev, y_dev = random_packed_batch(jax.random.key(0), T, LB)
-    jax.block_until_ready((z_dev, y_dev))
     scales = ftrl_scales(T, float(np.sqrt(2.0)))
 
     @functools.partial(jax.jit, static_argnames=("k",))

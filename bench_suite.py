@@ -61,12 +61,10 @@ def main():
 
     # --- pallas v2 (TPU only) ---
     if on_tpu:
+        from online_convex_optimization_tpu.data.device import (
+            random_packed_batch)
         T, LB, K = 1024, 16384, 8
-        z = rng.standard_normal((T, 5, 8, LB), dtype=np.float32)
-        z /= np.maximum(np.sqrt((z * z).sum(1, keepdims=True)), 1.0)
-        y = np.where(rng.random((T, 8, LB)) < 0.5, -1, 1).astype(np.float32)
-        zd = jax.device_put(jnp.asarray(z))
-        yd = jax.device_put(jnp.asarray(y))
+        zd, yd = random_packed_batch(jax.random.key(0), T, LB)
         scales = ftrl_scales(T, np.sqrt(2.0))
 
         @functools.partial(jax.jit, static_argnames=("k",))

@@ -115,20 +115,32 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
       z_pack: (T, d, 8, B) f32, B % 128 == 0, T % chunk_t == 0.
       y_pack: (T, 8, B) f32 (zero rows are inert padding).
       scales: (T,) f32 per-round FTRL scale -(eta0/sqrt(max(1,t))).
-      lanes_per_program: width each grid program owns; >128 interleaves
-        multiple independent lane-tiles per op to hide the per-step
-        dependency-chain latency (pick chunk_t so the z block stays within
-        the VMEM budget: ct * d * 8 * lanes * 4B * 2 buffers < ~12 MB).
+      lanes_per_program: preferred width each grid program owns; >128
+        interleaves multiple independent lane-tiles per op to hide the
+        per-step dependency-chain latency.  Reduced automatically to a
+        128-multiple divisor of B; the effective time-chunk is then
+        clamped (overriding ``chunk_t``) so the double-buffered z block
+        stays inside the VMEM budget.
     Returns:
       (cum_loss (8, B), theta (d, 8, B)).
     """
     T, d, S, B = z_pack.shape
+    assert S == SUBLANES and B % LANES == 0, (S, B)
     lanes = min(lanes_per_program, B)
-    assert S == SUBLANES and B % lanes == 0
+    lanes -= lanes % LANES
+    while B % lanes:  # shrink to a 128-multiple divisor of B
+        lanes -= LANES
     # Keep the double-buffered z block inside the VMEM budget:
     # 2 * ct * d * 8 * lanes * 4B <~ 11 MB (rounded down to a power of 2).
     vmem_budget = 11 * 1024 * 1024
-    bound = max(vmem_budget // (2 * d * SUBLANES * lanes * 4), 8)
+    while vmem_budget // (2 * d * SUBLANES * lanes * 4) < 8 and lanes > LANES:
+        lanes = max(lanes // 2 - (lanes // 2) % LANES, LANES)
+        while B % lanes:
+            lanes -= LANES
+    bound = vmem_budget // (2 * d * SUBLANES * lanes * 4)
+    if bound < 1:
+        raise ValueError(
+            f"d={d} too large for the VMEM budget at lanes={lanes}")
     bound = 1 << (bound.bit_length() - 1)
     ct = min(chunk_t, T, bound)
     while T % ct:

@@ -50,6 +50,16 @@ def test_ftrl_scales_values():
         rtol=1e-7)
 
 
+def test_v2_lane_fallback_nb5():
+    """Packed lane dims that are multiples of 128 but not 512 must work
+    (lanes_per_program is reduced to a divisor)."""
+    z, y = _batch(B=5 * SEQ_TILE, T=16, seed=9)
+    got = np.asarray(simulate_linear_pallas_v2(z, y, 0, 1.0, interpret=True))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            0, 1.0).regret, dtype=np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 @pytest.mark.parametrize("alg_flag", [0, 1])
 def test_v2_interpret_matches_scan(alg_flag):
     z, y = _batch(B=SEQ_TILE, T=32)
