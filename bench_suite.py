@@ -80,6 +80,25 @@ def main():
                         "value": 8 * LB * T / secs, "unit": "steps/s"})
         del zd, yd
 
+        # Generation-fused mode: sequences born in VMEM from the on-core
+        # PRNG, zero HBM data traffic.
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            synthetic_regrets)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_syn(sc, *, k):
+            def body(i, acc):
+                return acc + synthetic_regrets(
+                    i, sc * (1.0 + 1e-6 * i.astype(jnp.float32)),
+                    T=T, lane_batch=LB)
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((8, LB), jnp.float32))
+
+        secs = _fetch_time(lambda: run_syn(scales, k=K)) / K
+        records.append({"metric": "pallas_synthetic_steps_per_s",
+                        "value": 8 * LB * T / secs, "unit": "steps/s",
+                        "note": "in-kernel PRNG data generation"})
+
     # --- xla scan / smart / sweep / exact (any backend) ---
     B, T = (256, 256) if small else (8192, 1024)
     z = rng.standard_normal((B, T, 5)).astype(np.float32)

@@ -183,6 +183,156 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
     return cum, theta
 
 
+def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, cum_acc,
+                      comp_acc, xc_acc, z_buf, y_buf, *, ct: int, d: int,
+                      nchunks: int, alg_flag: int, unroll: int):
+    """Self-generating game: z, y are drawn from the on-core PRNG chunk by
+    chunk (Rademacher rows scaled 1/sqrt(d) — exact unit-norm rows, so no
+    clipping branch), played forward in phase 0 and regenerated bit-for-bit
+    (same per-chunk seeds) for the comparator replay in phase 1.  Zero HBM
+    traffic: the sequences never exist outside VMEM.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    chunk = j % nchunks
+    replay_phase = j >= nchunks
+
+    @pl.when(j == 0)
+    def _init():
+        theta_acc[:] = jnp.zeros_like(theta_acc)
+        cum_acc[:] = jnp.zeros_like(cum_acc)
+        comp_acc[:] = jnp.zeros_like(comp_acc)
+
+    # Same seed for chunk k in both phases => identical regenerated data.
+    pltpu.prng_seed(seed_ref[0] + i * nchunks + chunk)
+    inv_sqrt_d = 1.0 / float(np.sqrt(d))
+    zb = pltpu.prng_random_bits(z_buf.shape)
+    z_buf[:] = jnp.where((zb & 1) == 1, inv_sqrt_d, -inv_sqrt_d)
+    yb = pltpu.prng_random_bits(y_buf.shape)
+    y_buf[:] = jnp.where((yb & 1) == 1, 1.0, -1.0)
+
+    @pl.when(jnp.logical_not(replay_phase))
+    def _play():
+        def one(k, theta, cum):
+            z_t = [z_buf[k, jj] for jj in range(d)]
+            y_t = y_buf[k]
+            dotz = z_t[0] * theta[0]
+            nth = theta[0] * theta[0]
+            for jj in range(1, d):
+                dotz = dotz + z_t[jj] * theta[jj]
+                nth = nth + theta[jj] * theta[jj]
+            if alg_flag == 0:
+                scale = scale_ref[chunk * ct + k]
+                eff = scale * jax.lax.rsqrt(
+                    jnp.maximum((scale * scale) * nth, 1.0))
+            else:
+                eff = jnp.where(nth > 0.0,
+                                -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+            diff = eff * dotz - y_t
+            s = jnp.sign(diff)
+            cum = cum + 0.5 * (diff * s)
+            coef = 0.5 * s
+            theta = [theta[jj] + coef * z_t[jj] for jj in range(d)]
+            return theta, cum
+
+        def body(b, carry):
+            theta, cum = carry
+            for u in range(unroll):
+                theta, cum = one(b * unroll + u, theta, cum)
+            return theta, cum
+
+        theta0 = [theta_acc[jj] for jj in range(d)]
+        theta, cum = jax.lax.fori_loop(0, ct // unroll, body,
+                                       (theta0, cum_acc[:]))
+        for jj in range(d):
+            theta_acc[jj] = theta[jj]
+        cum_acc[:] = cum
+
+    @pl.when(replay_phase)
+    def _replay():
+        @pl.when(j == nchunks)
+        def _comparator_action():
+            nth = theta_acc[0] * theta_acc[0]
+            for jj in range(1, d):
+                nth = nth + theta_acc[jj] * theta_acc[jj]
+            eff = jnp.where(nth > 0.0,
+                            -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+            for jj in range(d):
+                xc_acc[jj] = eff * theta_acc[jj]
+
+        def one_replay(k, comp):
+            q = z_buf[k, 0] * xc_acc[0]
+            for jj in range(1, d):
+                q = q + z_buf[k, jj] * xc_acc[jj]
+            return comp + 0.5 * jnp.abs(q - y_buf[k])
+
+        comp_acc[:] = jax.lax.fori_loop(0, ct, one_replay, comp_acc[:])
+
+    @pl.when(j == 2 * nchunks - 1)
+    def _finalize():
+        out_ref[:] = cum_acc[:] - comp_acc[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("T", "lane_batch", "d", "alg_flag",
+                                    "chunk_t", "unroll", "lanes_per_program",
+                                    "interpret"))
+def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
+                      alg_flag: int = 0, chunk_t: int = 256, unroll: int = 4,
+                      lanes_per_program: int = 4 * LANES,
+                      interpret: bool = False):
+    """Full regret evaluation on PRNG-generated sequences, never touching
+    HBM for data — the per-chip speed-of-light mode, and the generation
+    strategy for pod-scale sweeps (each device owns disjoint seeds).
+
+    Returns (8, lane_batch) regrets for 8 * lane_batch sequences.
+    """
+    B = lane_batch
+    assert B % LANES == 0
+    lanes = min(lanes_per_program, B)
+    lanes -= lanes % LANES
+    while B % lanes:
+        lanes -= LANES
+    vmem_budget = 11 * 1024 * 1024
+    bound = max(vmem_budget // (2 * d * SUBLANES * lanes * 4), 8)
+    bound = 1 << (bound.bit_length() - 1)
+    ct = min(chunk_t, T, bound)
+    while T % ct:
+        ct //= 2
+    u = min(unroll, ct)
+    while ct % u:
+        u //= 2
+    nchunks = T // ct
+    nb = B // lanes
+
+    kernel = functools.partial(_synthetic_kernel, ct=ct, d=d,
+                               nchunks=nchunks, alg_flag=alg_flag, unroll=u)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # scales, seed
+        grid=(nb, 2 * nchunks),
+        in_specs=[],
+        out_specs=pl.BlockSpec((SUBLANES, lanes), lambda i, j, s1, s2: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),   # theta
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),      # cum
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),      # comp
+            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),   # x_c
+            pltpu.VMEM((ct, d, SUBLANES, lanes), jnp.float32),  # z chunk
+            pltpu.VMEM((ct, SUBLANES, lanes), jnp.float32),     # y chunk
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, B), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scales, seed_arr)
+    return out
+
+
 def ftrl_scales(T: int, eta0: float) -> jnp.ndarray:
     """Per-round scales -(eta0/sqrt(max(1, t))), t = 1..T (f32)."""
     t = np.arange(1, T + 1, dtype=np.float32)

@@ -1,0 +1,47 @@
+"""Generation-fused game kernel (in-kernel PRNG): determinism and
+distributional agreement with the scan path (TPU; interpret mode on CPU
+exercises compilation only)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.ops.pallas_game import (
+    ftrl_scales,
+    synthetic_regrets,
+)
+
+
+@pytest.mark.requires_tpu
+def test_synthetic_is_deterministic():
+    # Interpret mode can't emulate the TPU PRNG primitives on CPU
+    # (prng_seed has no CPU lowering), so this runs on chip only.
+    scales = ftrl_scales(32, 1.0)
+    a = np.asarray(synthetic_regrets(3, scales, T=32, lane_batch=128))
+    b = np.asarray(synthetic_regrets(3, scales, T=32, lane_batch=128))
+    c = np.asarray(synthetic_regrets(4, scales, T=32, lane_batch=128))
+    assert a.shape == (8, 128)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert np.all(np.isfinite(a))
+
+
+@pytest.mark.requires_tpu
+def test_synthetic_matches_scan_distribution():
+    """Mean/std of FTRL regret on Rademacher data must agree between the
+    in-kernel PRNG stream and jax.random + scan (different bitstreams,
+    same distribution)."""
+    T, LB = 300, 512
+    syn = np.asarray(synthetic_regrets(7, ftrl_scales(T, np.sqrt(2.0)),
+                                       T=T, lane_batch=LB))
+    key = jax.random.key(0)
+    kz, ky = jax.random.split(key)
+    B = 4096
+    z = jax.random.rademacher(kz, (B, T, 5), jnp.float32) / np.sqrt(5.0)
+    y = jax.random.rademacher(ky, (B, T), jnp.float32)
+    ref = np.asarray(simulate_linear_batch(z, y, 0, np.sqrt(2.0)).regret)
+    assert syn.mean() == pytest.approx(ref.mean(), abs=4 * ref.std() / np.sqrt(B))
+    assert syn.std() == pytest.approx(ref.std(), rel=0.15)
