@@ -161,7 +161,13 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
 class ExactFTL:
     """Build-once/solve-many exact-FTL oracle (ExactFTLNoClip equivalent,
     exact_ftl.py:62-193) — but "solve many" means "all prefixes in one
-    batched device program"."""
+    batched device program".
+
+    The reference's incremental surface (``reset_buffers`` / ``append_row``
+    / ``solve_prefix`` / ``solve_prefix_from_full``, exact_ftl.py:130-193)
+    is provided for drop-in compatibility; online appenders should prefer
+    ``prefix_actions`` which solves every prefix at once.
+    """
 
     d: int
     T_max: int
@@ -169,6 +175,51 @@ class ExactFTL:
     iters: int = 600
     rho: float = 1.0
     alpha: float = 1.7
+
+    def __post_init__(self):
+        self._z_buf = np.zeros((self.T_max, self.d))
+        self._y_buf = np.zeros(self.T_max)
+        self._length = 0
+
+    def reset_buffers(self) -> None:
+        """Clear cached rows for a new sequence (exact_ftl.py:130-138)."""
+        self._z_buf[:] = 0.0
+        self._y_buf[:] = 0.0
+        self._length = 0
+
+    def append_row(self, z_row: np.ndarray, y_val: float) -> np.ndarray:
+        """Append one example and return the new prefix minimizer
+        (exact_ftl.py:140-149)."""
+        if self._length >= self.T_max:
+            raise ValueError("sequence longer than T_max")
+        self._z_buf[self._length] = z_row
+        self._y_buf[self._length] = y_val
+        self._length += 1
+        return self.solve_full(self._z_buf[:self._length],
+                               self._y_buf[:self._length])
+
+    def solve_prefix_from_full(self, z_full, y_full, length: int) -> np.ndarray:
+        """Minimizer over the first ``length`` rows (exact_ftl.py:171-181)."""
+        if length < 0 or length > self.T_max:
+            raise ValueError("length must be between 0 and T_max inclusive")
+        z = np.asarray(z_full)[:length]
+        y = np.asarray(y_full)[:length]
+        self._z_buf[:length] = z
+        self._y_buf[:length] = y
+        self._length = length
+        if length == 0:
+            return np.zeros(self.d)
+        return self.solve_full(z, y)
+
+    def solve_prefix(self, z_prefix, y_prefix) -> np.ndarray:
+        """Solve for explicitly supplied prefix arrays (exact_ftl.py:183-193)."""
+        z = np.asarray(z_prefix)
+        t, d = z.shape
+        if d != self.d:
+            raise ValueError(f"Expected {self.d}-dimensional data, got {d}")
+        if t > self.T_max:
+            raise ValueError("prefix longer than T_max")
+        return self.solve_prefix_from_full(z, y_prefix, t)
 
     def prefix_actions(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Exact FTL actions for every prefix 0..T; row 0 is the zero vector

@@ -124,6 +124,24 @@ def test_simulate_front_end_dispatch():
         simulate(z, y, algo="nope")
 
 
+def test_incremental_surface_matches_batch():
+    """append_row / solve_prefix agree with the all-prefix batch solve."""
+    z, y = _instance(T=20, seed=7)
+    solver = ExactFTL(d=5, T_max=20, norm="l2", iters=2000)
+    actions = solver.prefix_actions(z, y)
+    solver.reset_buffers()
+    for t in range(6):
+        x_inc = solver.append_row(z[t], float(y[t]))
+        obj_inc = 0.5 * np.sum(np.abs(z[:t + 1] @ x_inc - y[:t + 1]))
+        obj_bat = 0.5 * np.sum(np.abs(z[:t + 1] @ actions[t + 1] - y[:t + 1]))
+        assert obj_inc == pytest.approx(obj_bat, abs=1e-5)
+    x_pref = solver.solve_prefix(z[:10], y[:10])
+    x_pref2 = solver.solve_prefix_from_full(z, y, 10)
+    np.testing.assert_allclose(x_pref, x_pref2, atol=1e-9)
+    with pytest.raises(ValueError):
+        solver.solve_prefix(z[:5, :3], y[:5])
+
+
 def test_bad_shapes_raise():
     z, y = _instance(T=20, seed=6)
     solver = ExactFTL(d=5, T_max=10)
