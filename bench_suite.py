@@ -99,6 +99,19 @@ def main():
                         "value": 8 * LB * T / secs, "unit": "steps/s",
                         "note": "in-kernel PRNG data generation"})
 
+        # 64-point eta sweep as a kernel grid dimension (BASELINE config 2).
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            eta_sweep_packed)
+        LBs = 2048
+        zs, ys = random_packed_batch(jax.random.key(1), T, LBs)
+        grid64 = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
+        secs = _fetch_time(lambda: eta_sweep_packed(zs, ys, grid64))
+        records.append({"metric": "pallas_eta_sweep64_seqsteps_per_s",
+                        "value": 64 * 8 * LBs * T / secs,
+                        "unit": "seq*steps/s",
+                        "note": "sweep as kernel grid dimension"})
+        del zs, ys
+
     # --- xla scan / smart / sweep / exact (any backend) ---
     B, T = (256, 256) if small else (8192, 1024)
     z = rng.standard_normal((B, T, 5)).astype(np.float32)

@@ -183,6 +183,159 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
     return cum, theta
 
 
+def _sweep_kernel(isqrt_ref, eta_ref, z_ref, y_ref, out_ref,
+                  theta_acc, cum_acc, xc_acc, *, ct: int, d: int,
+                  nchunks: int, unroll: int):
+    """FTRL game + comparator replay for one (lane-batch, eta-setting,
+    time-chunk-phase) grid step.
+
+    The hyperparameter grid is a *grid dimension*: each (i, e) pass
+    replays the same z/y blocks (re-streamed from HBM by the pipeline)
+    under a different scalar eta — the (sequence x setting) cross product
+    costs no input duplication.  The last grid axis runs 2*nchunks steps:
+    phase 0 plays the game, phase 1 re-streams the same blocks to score
+    the final-FTL comparator, so regrets finish entirely in-kernel.
+    isqrt (T,) SMEM holds 1/sqrt(max(1,t)); eta (E,) SMEM.
+    """
+    e = pl.program_id(1)
+    j_step = pl.program_id(2)
+    chunk = j_step % nchunks
+    replay = j_step >= nchunks
+    eta = eta_ref[e]
+
+    @pl.when(j_step == 0)
+    def _init():
+        theta_acc[:] = jnp.zeros_like(theta_acc)
+        cum_acc[:] = jnp.zeros_like(cum_acc)
+
+    @pl.when(jnp.logical_not(replay))
+    def _play():
+        def one(k, theta, cum):
+            z_t = [z_ref[k, j] for j in range(d)]
+            y_t = y_ref[k]
+            dotz = z_t[0] * theta[0]
+            nth = theta[0] * theta[0]
+            for j in range(1, d):
+                dotz = dotz + z_t[j] * theta[j]
+                nth = nth + theta[j] * theta[j]
+            scale = -eta * isqrt_ref[chunk * ct + k]
+            eff = scale * jax.lax.rsqrt(
+                jnp.maximum((scale * scale) * nth, 1.0))
+            diff = eff * dotz - y_t
+            s = jnp.sign(diff)
+            cum = cum + 0.5 * (diff * s)
+            coef = 0.5 * s
+            theta = [theta[j] + coef * z_t[j] for j in range(d)]
+            return theta, cum
+
+        def body(i, carry):
+            theta, cum = carry
+            for u in range(unroll):
+                theta, cum = one(i * unroll + u, theta, cum)
+            return theta, cum
+
+        theta0 = [theta_acc[j] for j in range(d)]
+        theta, cum = jax.lax.fori_loop(0, ct // unroll, body,
+                                       (theta0, cum_acc[:]))
+        for j in range(d):
+            theta_acc[j] = theta[j]
+        cum_acc[:] = cum
+
+    @pl.when(replay)
+    def _replay():
+        @pl.when(j_step == nchunks)
+        def _comparator_action():
+            nth = theta_acc[0] * theta_acc[0]
+            for j in range(1, d):
+                nth = nth + theta_acc[j] * theta_acc[j]
+            eff = jnp.where(nth > 0.0,
+                            -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+            for j in range(d):
+                xc_acc[j] = eff * theta_acc[j]
+
+        def one_replay(k, comp):
+            q = z_ref[k, 0] * xc_acc[0]
+            for j in range(1, d):
+                q = q + z_ref[k, j] * xc_acc[j]
+            return comp + 0.5 * jnp.abs(q - y_ref[k])
+
+        # Accumulate the comparator loss as a negative contribution so the
+        # out block holds cum - comp once the phase completes.
+        comp = jax.lax.fori_loop(0, ct, one_replay,
+                                 jnp.zeros_like(cum_acc[:]))
+        cum_acc[:] = cum_acc[:] - comp
+
+    @pl.when(j_step == 2 * nchunks - 1)
+    def _finalize():
+        out_ref[0] = cum_acc[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk_t", "unroll", "lanes_per_program",
+                                    "interpret"))
+def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
+                     unroll: int = 4, lanes_per_program: int = 4 * LANES,
+                     interpret: bool = False):
+    """FTRL regrets for every (sequence, eta0) pair at fused-kernel speed.
+
+    Args:
+      z_pack: (T, d, 8, B); y_pack: (T, 8, B); eta_grid: (E,) f32.
+    Returns: (E, 8, B) regrets — BASELINE config 2 ("learning-rate sweep
+    over 64 settings") as one kernel launch.
+    """
+    T, d, S, B = z_pack.shape
+    E = eta_grid.shape[0]
+    assert S == SUBLANES and B % LANES == 0
+    lanes = min(lanes_per_program, B)
+    lanes -= lanes % LANES
+    while B % lanes:
+        lanes -= LANES
+    vmem_budget = 11 * 1024 * 1024
+    bound = max(vmem_budget // (2 * d * SUBLANES * lanes * 4), 8)
+    bound = 1 << (bound.bit_length() - 1)
+    ct = min(chunk_t, T, bound)
+    while T % ct:
+        ct //= 2
+    u = min(unroll, ct)
+    while ct % u:
+        u //= 2
+    nchunks = T // ct
+    nb = B // lanes
+
+    t = np.arange(1, T + 1, dtype=np.float32)
+    isqrt = jnp.asarray(1.0 / np.sqrt(np.maximum(t, 1.0)))
+    eta_grid = jnp.asarray(eta_grid, jnp.float32)
+
+    kernel = functools.partial(_sweep_kernel, ct=ct, d=d, nchunks=nchunks,
+                               unroll=u)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # isqrt, eta_grid
+        grid=(nb, E, 2 * nchunks),
+        in_specs=[
+            pl.BlockSpec((ct, d, SUBLANES, lanes),
+                         lambda i, e, j, s1, s2: (j % nchunks, 0, 0, i)),
+            pl.BlockSpec((ct, SUBLANES, lanes),
+                         lambda i, e, j, s1, s2: (j % nchunks, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, SUBLANES, lanes),
+                               lambda i, e, j, s1, s2: (e, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),
+            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),
+        ],
+    )
+    regrets = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, SUBLANES, B), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(isqrt, eta_grid, z_pack, y_pack)
+    return regrets
+
+
 def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, cum_acc,
                       comp_acc, xc_acc, z_buf, y_buf, *, ct: int, d: int,
                       nchunks: int, alg_flag: int, unroll: int):

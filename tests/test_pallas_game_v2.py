@@ -85,6 +85,21 @@ def test_v2_zero_padded_tail_is_inert():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_eta_sweep_kernel_interpret_matches_scan_sweep():
+    from online_convex_optimization_tpu.models.sweep_api import ftrl_eta_sweep
+    from online_convex_optimization_tpu.ops.pallas_game import eta_sweep_packed
+
+    z, y = _batch(B=SEQ_TILE, T=32, seed=4)
+    grid = np.linspace(0.2, 2.5, 3).astype(np.float32)
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    out = np.asarray(eta_sweep_packed(z_pack, y_pack, jnp.asarray(grid),
+                                      interpret=True))
+    want = np.asarray(ftrl_eta_sweep(z, y, grid))  # (B, E)
+    for e in range(3):
+        got_e = np.asarray(unpack_result(jnp.asarray(out[e]), B))
+        np.testing.assert_allclose(got_e, want[:, e], atol=5e-4)
+
+
 @pytest.mark.requires_tpu
 @pytest.mark.parametrize("alg_flag", [0, 1])
 def test_v2_tpu_matches_scan(alg_flag):
