@@ -19,9 +19,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from online_convex_optimization_tpu.data.sequences import sample_g_batch
+from online_convex_optimization_tpu.data.sequences import (
+    sample_g_batch,
+    sample_g_instance,
+)
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
-
 
 def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
              chunk: int) -> float:
@@ -31,17 +33,11 @@ def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
         z = np.empty((n, T, 5), dtype=dtype)
         y = np.empty((n, T), dtype=dtype)
         for i in range(n):
-            zi, yi = _sample(base_seed, T, start + i, dtype)
-            z[i], y[i] = zi, yi
+            z[i], y[i] = sample_g_instance(base_seed, T, start + i,
+                                           dtype=dtype)
         res = simulate_linear_batch(z, y, 0, eta0)
         max_regret = max(max_regret, float(np.max(np.asarray(res.regret))))
     return max_regret
-
-
-def _sample(base_seed, T, run, dtype):
-    from online_convex_optimization_tpu.data.sequences import sample_g_instance
-    return sample_g_instance(base_seed, T, run, dtype=dtype)
-
 
 def estimate_g(
     T_grid,
@@ -78,7 +74,6 @@ def estimate_g(
                           indent=1)
 
     return {int(t): g[int(t)] for t in T_grid}
-
 
 def estimate_g_exact(
     T_grid,

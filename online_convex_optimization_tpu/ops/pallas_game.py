@@ -45,6 +45,109 @@ SUBLANES = 8
 SEQ_TILE = LANES * SUBLANES  # sequences per grid program
 
 
+# ------------------------------------------------------------------
+# Shared in-kernel building blocks (used by all three kernels below)
+# ------------------------------------------------------------------
+
+def _ftl_eff(nth):
+    """FTL action multiplier: x = eff * theta = -theta/||theta||, zero-safe."""
+    return jnp.where(nth > 0.0, -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+
+
+def _ftrl_eff(scale, nth):
+    """FTRL multiplier with the ball projection folded in:
+    eff = scale * rsqrt(max(scale^2*||theta||^2, 1)); max(.,1) makes the
+    in-ball case an exact no-op."""
+    return scale * jax.lax.rsqrt(jnp.maximum((scale * scale) * nth, 1.0))
+
+
+def _play_step(z_t, y_t, theta, cum, eff_fn):
+    """One online round on a lane tile.
+
+    z_t: list of d (8, lanes) feature slices; theta: list of d tiles;
+    eff_fn(nth) -> action multiplier.  Returns updated (theta, cum).
+    """
+    d = len(theta)
+    dotz = z_t[0] * theta[0]
+    nth = theta[0] * theta[0]
+    for j in range(1, d):
+        dotz = dotz + z_t[j] * theta[j]
+        nth = nth + theta[j] * theta[j]
+    diff = eff_fn(nth) * dotz - y_t
+    s = jnp.sign(diff)
+    cum = cum + 0.5 * (diff * s)
+    coef = 0.5 * s
+    theta = [theta[j] + coef * z_t[j] for j in range(d)]
+    return theta, cum
+
+
+def _play_chunk(ct, unroll, step_fn, theta_acc, cum_acc, d):
+    """Run ``ct`` rounds (unrolled fori_loop) from/into the scratch accs."""
+
+    def body(i, carry):
+        theta, cum = carry
+        for u in range(unroll):
+            theta, cum = step_fn(i * unroll + u, theta, cum)
+        return theta, cum
+
+    theta0 = [theta_acc[j] for j in range(d)]
+    theta, cum = jax.lax.fori_loop(0, ct // unroll, body,
+                                   (theta0, cum_acc[:]))
+    for j in range(d):
+        theta_acc[j] = theta[j]
+    cum_acc[:] = cum
+
+
+def _comparator_from(theta_acc, xc_acc, d):
+    """Write the final FTL action into xc_acc from the theta scratch."""
+    nth = theta_acc[0] * theta_acc[0]
+    for j in range(1, d):
+        nth = nth + theta_acc[j] * theta_acc[j]
+    eff = _ftl_eff(nth)
+    for j in range(d):
+        xc_acc[j] = eff * theta_acc[j]
+
+
+def _replay_chunk(ct, read_z, read_y, xc_acc, d, comp0):
+    """Comparator loss of xc over ``ct`` rounds; returns the accumulated sum."""
+
+    def one(k, comp):
+        q = read_z(k, 0) * xc_acc[0]
+        for j in range(1, d):
+            q = q + read_z(k, j) * xc_acc[j]
+        return comp + 0.5 * jnp.abs(q - read_y(k))
+
+    return jax.lax.fori_loop(0, ct, one, comp0)
+
+
+def _choose_tiles(B, T, d, lanes_per_program, chunk_t, unroll):
+    """Pick (lanes, ct, unroll, nchunks, nb): lanes is a 128-multiple
+    divisor of B; ct a power-of-two divisor of T sized so the
+    double-buffered z block stays inside the VMEM budget."""
+    assert B % LANES == 0, B
+    lanes = min(lanes_per_program, B)
+    lanes -= lanes % LANES
+    while B % lanes:
+        lanes -= LANES
+    vmem_budget = 11 * 1024 * 1024
+    while vmem_budget // (2 * d * SUBLANES * lanes * 4) < 8 and lanes > LANES:
+        lanes = max(lanes // 2 - (lanes // 2) % LANES, LANES)
+        while B % lanes:
+            lanes -= LANES
+    bound = vmem_budget // (2 * d * SUBLANES * lanes * 4)
+    if bound < 1:
+        raise ValueError(
+            f"d={d} too large for the VMEM budget at lanes={lanes}")
+    bound = 1 << (bound.bit_length() - 1)
+    ct = min(chunk_t, T, bound)
+    while T % ct:
+        ct //= 2
+    unroll = min(unroll, ct)
+    while ct % unroll:
+        unroll //= 2
+    return lanes, ct, unroll, T // ct, B // lanes
+
+
 def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
                  theta_acc, cum_acc, *, ct: int, d: int, nchunks: int,
                  alg_flag: int, unroll: int):
@@ -62,39 +165,13 @@ def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
 
     def one(k, theta, cum):
         z_t = [z_ref[k, j] for j in range(d)]
-        y_t = y_ref[k]
-        dotz = z_t[0] * theta[0]
-        nth = theta[0] * theta[0]
-        for j in range(1, d):
-            dotz = dotz + z_t[j] * theta[j]
-            nth = nth + theta[j] * theta[j]
         if alg_flag == 0:
-            scale = scale_ref[chunk * ct + k]
-            nsq = (scale * scale) * nth
-            eff = scale * jax.lax.rsqrt(jnp.maximum(nsq, 1.0))
+            eff_fn = functools.partial(_ftrl_eff, scale_ref[chunk * ct + k])
         else:
-            # FTL: -theta/||theta||, zero-safe.
-            safe = jnp.maximum(nth, 1e-30)
-            eff = jnp.where(nth > 0.0, -jax.lax.rsqrt(safe), 0.0)
-        diff = eff * dotz - y_t
-        s = jnp.sign(diff)
-        cum = cum + 0.5 * (diff * s)
-        coef = 0.5 * s
-        theta = [theta[j] + coef * z_t[j] for j in range(d)]
-        return theta, cum
+            eff_fn = _ftl_eff
+        return _play_step(z_t, y_ref[k], theta, cum, eff_fn)
 
-    def body(i, carry):
-        theta, cum = carry
-        for u in range(unroll):
-            theta, cum = one(i * unroll + u, theta, cum)
-        return theta, cum
-
-    theta0 = [theta_acc[j] for j in range(d)]
-    theta, cum = jax.lax.fori_loop(0, ct // unroll, body,
-                                   (theta0, cum_acc[:]))
-    for j in range(d):
-        theta_acc[j] = theta[j]
-    cum_acc[:] = cum
+    _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
 
     @pl.when(chunk == nchunks - 1)
     def _finalize():
@@ -125,31 +202,9 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
       (cum_loss (8, B), theta (d, 8, B)).
     """
     T, d, S, B = z_pack.shape
-    assert S == SUBLANES and B % LANES == 0, (S, B)
-    lanes = min(lanes_per_program, B)
-    lanes -= lanes % LANES
-    while B % lanes:  # shrink to a 128-multiple divisor of B
-        lanes -= LANES
-    # Keep the double-buffered z block inside the VMEM budget:
-    # 2 * ct * d * 8 * lanes * 4B <~ 11 MB (rounded down to a power of 2).
-    vmem_budget = 11 * 1024 * 1024
-    while vmem_budget // (2 * d * SUBLANES * lanes * 4) < 8 and lanes > LANES:
-        lanes = max(lanes // 2 - (lanes // 2) % LANES, LANES)
-        while B % lanes:
-            lanes -= LANES
-    bound = vmem_budget // (2 * d * SUBLANES * lanes * 4)
-    if bound < 1:
-        raise ValueError(
-            f"d={d} too large for the VMEM budget at lanes={lanes}")
-    bound = 1 << (bound.bit_length() - 1)
-    ct = min(chunk_t, T, bound)
-    while T % ct:
-        ct //= 2
-    unroll = min(unroll, ct)
-    while ct % unroll:
-        unroll //= 2
-    nchunks = T // ct
-    nb = B // lanes
+    assert S == SUBLANES, S
+    lanes, ct, unroll, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, unroll)
 
     kernel = functools.partial(_game_kernel, ct=ct, d=d, nchunks=nchunks,
                                alg_flag=alg_flag, unroll=unroll)
@@ -212,57 +267,23 @@ def _sweep_kernel(isqrt_ref, eta_ref, z_ref, y_ref, out_ref,
     def _play():
         def one(k, theta, cum):
             z_t = [z_ref[k, j] for j in range(d)]
-            y_t = y_ref[k]
-            dotz = z_t[0] * theta[0]
-            nth = theta[0] * theta[0]
-            for j in range(1, d):
-                dotz = dotz + z_t[j] * theta[j]
-                nth = nth + theta[j] * theta[j]
             scale = -eta * isqrt_ref[chunk * ct + k]
-            eff = scale * jax.lax.rsqrt(
-                jnp.maximum((scale * scale) * nth, 1.0))
-            diff = eff * dotz - y_t
-            s = jnp.sign(diff)
-            cum = cum + 0.5 * (diff * s)
-            coef = 0.5 * s
-            theta = [theta[j] + coef * z_t[j] for j in range(d)]
-            return theta, cum
+            return _play_step(z_t, y_ref[k], theta, cum,
+                              functools.partial(_ftrl_eff, scale))
 
-        def body(i, carry):
-            theta, cum = carry
-            for u in range(unroll):
-                theta, cum = one(i * unroll + u, theta, cum)
-            return theta, cum
-
-        theta0 = [theta_acc[j] for j in range(d)]
-        theta, cum = jax.lax.fori_loop(0, ct // unroll, body,
-                                       (theta0, cum_acc[:]))
-        for j in range(d):
-            theta_acc[j] = theta[j]
-        cum_acc[:] = cum
+        _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
 
     @pl.when(replay)
     def _replay():
         @pl.when(j_step == nchunks)
         def _comparator_action():
-            nth = theta_acc[0] * theta_acc[0]
-            for j in range(1, d):
-                nth = nth + theta_acc[j] * theta_acc[j]
-            eff = jnp.where(nth > 0.0,
-                            -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
-            for j in range(d):
-                xc_acc[j] = eff * theta_acc[j]
-
-        def one_replay(k, comp):
-            q = z_ref[k, 0] * xc_acc[0]
-            for j in range(1, d):
-                q = q + z_ref[k, j] * xc_acc[j]
-            return comp + 0.5 * jnp.abs(q - y_ref[k])
+            _comparator_from(theta_acc, xc_acc, d)
 
         # Accumulate the comparator loss as a negative contribution so the
         # out block holds cum - comp once the phase completes.
-        comp = jax.lax.fori_loop(0, ct, one_replay,
-                                 jnp.zeros_like(cum_acc[:]))
+        comp = _replay_chunk(ct, lambda k, j: z_ref[k, j],
+                             lambda k: y_ref[k], xc_acc, d,
+                             jnp.zeros_like(cum_acc[:]))
         cum_acc[:] = cum_acc[:] - comp
 
     @pl.when(j_step == 2 * nchunks - 1)
@@ -285,22 +306,9 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
     """
     T, d, S, B = z_pack.shape
     E = eta_grid.shape[0]
-    assert S == SUBLANES and B % LANES == 0
-    lanes = min(lanes_per_program, B)
-    lanes -= lanes % LANES
-    while B % lanes:
-        lanes -= LANES
-    vmem_budget = 11 * 1024 * 1024
-    bound = max(vmem_budget // (2 * d * SUBLANES * lanes * 4), 8)
-    bound = 1 << (bound.bit_length() - 1)
-    ct = min(chunk_t, T, bound)
-    while T % ct:
-        ct //= 2
-    u = min(unroll, ct)
-    while ct % u:
-        u //= 2
-    nchunks = T // ct
-    nb = B // lanes
+    assert S == SUBLANES, S
+    lanes, ct, u, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, unroll)
 
     t = np.arange(1, T + 1, dtype=np.float32)
     isqrt = jnp.asarray(1.0 / np.sqrt(np.maximum(t, 1.0)))
@@ -368,58 +376,24 @@ def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, cum_acc,
     def _play():
         def one(k, theta, cum):
             z_t = [z_buf[k, jj] for jj in range(d)]
-            y_t = y_buf[k]
-            dotz = z_t[0] * theta[0]
-            nth = theta[0] * theta[0]
-            for jj in range(1, d):
-                dotz = dotz + z_t[jj] * theta[jj]
-                nth = nth + theta[jj] * theta[jj]
             if alg_flag == 0:
-                scale = scale_ref[chunk * ct + k]
-                eff = scale * jax.lax.rsqrt(
-                    jnp.maximum((scale * scale) * nth, 1.0))
+                eff_fn = functools.partial(_ftrl_eff,
+                                           scale_ref[chunk * ct + k])
             else:
-                eff = jnp.where(nth > 0.0,
-                                -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
-            diff = eff * dotz - y_t
-            s = jnp.sign(diff)
-            cum = cum + 0.5 * (diff * s)
-            coef = 0.5 * s
-            theta = [theta[jj] + coef * z_t[jj] for jj in range(d)]
-            return theta, cum
+                eff_fn = _ftl_eff
+            return _play_step(z_t, y_buf[k], theta, cum, eff_fn)
 
-        def body(b, carry):
-            theta, cum = carry
-            for u in range(unroll):
-                theta, cum = one(b * unroll + u, theta, cum)
-            return theta, cum
-
-        theta0 = [theta_acc[jj] for jj in range(d)]
-        theta, cum = jax.lax.fori_loop(0, ct // unroll, body,
-                                       (theta0, cum_acc[:]))
-        for jj in range(d):
-            theta_acc[jj] = theta[jj]
-        cum_acc[:] = cum
+        _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
 
     @pl.when(replay_phase)
     def _replay():
         @pl.when(j == nchunks)
         def _comparator_action():
-            nth = theta_acc[0] * theta_acc[0]
-            for jj in range(1, d):
-                nth = nth + theta_acc[jj] * theta_acc[jj]
-            eff = jnp.where(nth > 0.0,
-                            -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
-            for jj in range(d):
-                xc_acc[jj] = eff * theta_acc[jj]
+            _comparator_from(theta_acc, xc_acc, d)
 
-        def one_replay(k, comp):
-            q = z_buf[k, 0] * xc_acc[0]
-            for jj in range(1, d):
-                q = q + z_buf[k, jj] * xc_acc[jj]
-            return comp + 0.5 * jnp.abs(q - y_buf[k])
-
-        comp_acc[:] = jax.lax.fori_loop(0, ct, one_replay, comp_acc[:])
+        comp_acc[:] = _replay_chunk(ct, lambda k, jj: z_buf[k, jj],
+                                    lambda k: y_buf[k], xc_acc, d,
+                                    comp_acc[:])
 
     @pl.when(j == 2 * nchunks - 1)
     def _finalize():
@@ -441,22 +415,8 @@ def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
     Returns (8, lane_batch) regrets for 8 * lane_batch sequences.
     """
     B = lane_batch
-    assert B % LANES == 0
-    lanes = min(lanes_per_program, B)
-    lanes -= lanes % LANES
-    while B % lanes:
-        lanes -= LANES
-    vmem_budget = 11 * 1024 * 1024
-    bound = max(vmem_budget // (2 * d * SUBLANES * lanes * 4), 8)
-    bound = 1 << (bound.bit_length() - 1)
-    ct = min(chunk_t, T, bound)
-    while T % ct:
-        ct //= 2
-    u = min(unroll, ct)
-    while ct % u:
-        u //= 2
-    nchunks = T // ct
-    nb = B // lanes
+    lanes, ct, u, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, unroll)
 
     kernel = functools.partial(_synthetic_kernel, ct=ct, d=d,
                                nchunks=nchunks, alg_flag=alg_flag, unroll=u)

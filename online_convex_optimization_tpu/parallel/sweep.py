@@ -15,7 +15,6 @@ cross-device statistics are reduced with XLA collectives over ICI:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +56,7 @@ def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
     return run(*args)
 
 
-def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0, *, length=None):
+def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0):
     """Per-shard regrets reduced to global (n, sum, sum_sq) via psum.
 
     Returns the sufficient statistics from which mean and SEM follow
@@ -80,7 +79,7 @@ def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0, *, length=None):
 
 
 def sharded_smart_regrets(mesh: Mesh, z, y, theta_thresh, eta0, *,
-                          length=None, block_size: int = 128):
+                          block_size: int = 128):
     """SMART regrets computed shard-locally, returned still sharded.
 
     theta_thresh / eta0 may be (B,) grids sharded with the batch — a
