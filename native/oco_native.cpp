@@ -202,18 +202,15 @@ inline void project_ball(double* x, int64_t d, int norm) {
       while (j >= 0 && u[j] < key) { u[j + 1] = u[j]; --j; }
       u[j + 1] = key;
     }
+    // Duchi et al. threshold: css is the TRUE running prefix sum over all
+    // sorted entries; the passing indices form a prefix (u is descending),
+    // so the last passing candidate is the correct theta.
     double css = 0.0, theta = 0.0;
-    int64_t rho = 0;
     for (int64_t i = 0; i < d; ++i) {
       css += u[i];
-      if (u[i] - (css - 1.0) / (double)(i + 1) > 0.0) {
-        rho = i + 1;
-        theta = (css - 1.0) / (double)(i + 1);
-      } else {
-        css -= u[i];  // keep css as the prefix sum through rho
-      }
+      const double cand = (css - 1.0) / (double)(i + 1);
+      if (u[i] - cand > 0.0) theta = cand;
     }
-    (void)rho;
     for (int64_t j = 0; j < d; ++j) {
       const double mag = std::fabs(x[j]) - theta;
       x[j] = (x[j] > 0.0 ? 1.0 : -1.0) * (mag > 0.0 ? mag : 0.0);

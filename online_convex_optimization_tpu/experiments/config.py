@@ -34,7 +34,7 @@ class ExperimentConfig:
     exact_iters: int = 2000
     norm: str = "l2"              # exact oracle ball (exact_ftl.py:72)
     out_dir: str = "results"
-    dpi: int = 200                # reference uses 600 (driver.py:158)
+    dpi: int = 600                # matches the reference (driver.py:158)
     checkpoint: bool = True
     batch_chunk: int = 4096       # max sequences per device batch
 

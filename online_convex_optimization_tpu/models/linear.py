@@ -80,7 +80,7 @@ def simulate_linear(
     ts = jnp.arange(1, T + 1, dtype=dtype)  # 1-based round index for FTRL
 
     def step(carry, inp):
-        theta, cum_loss = carry
+        theta, cum_loss, x_prev = carry
         z_t, y_t, t, v = inp
         x_ftrl = ftrl_action(theta, t, eta0)
         x_ftl = ftl_action(theta)
@@ -90,14 +90,17 @@ def simulate_linear(
         g = hinge_subgradient(q, y_t)
         theta = theta + (v * g) * z_t
         cum_loss = cum_loss + v * loss
-        return (theta, cum_loss), x
+        # x_last = last action actually PLAYED (valid rounds only), matching
+        # the reference RunResult semantics under padding.
+        x_keep = jnp.where(v > 0, x, x_prev)
+        return (theta, cum_loss, x_keep), None
 
-    init = (jnp.zeros((d,), dtype=dtype), jnp.zeros((), dtype=dtype))
-    (theta, cum_loss), xs = jax.lax.scan(step, init, (z, y, ts, valid))
+    init = (jnp.zeros((d,), dtype=dtype), jnp.zeros((), dtype=dtype),
+            jnp.zeros((d,), dtype=dtype))
+    (theta, cum_loss, x_last), _ = jax.lax.scan(step, init, (z, y, ts, valid))
 
     x_comp = ftl_action(theta)
     comp_loss = _masked_comparator_loss(z, y, x_comp, valid)
-    x_last = xs[-1]
     return RunResult(cum_loss=cum_loss, regret=cum_loss - comp_loss,
                      comp_loss=comp_loss, x_last=x_last)
 
@@ -140,7 +143,7 @@ def simulate_linear_batch(
     is_ftrl = (alg_flag == ALG_FTRL)[:, None]
 
     def step(carry, inp):
-        theta, cum_loss, _ = carry
+        theta, cum_loss, x_prev = carry
         z_t, y_t, t, v = inp
         x_ftrl = ftrl_action(theta, jnp.full((B,), t, dtype=dtype), eta0)
         x_ftl = ftl_action(theta)
@@ -150,7 +153,10 @@ def simulate_linear_batch(
         g = hinge_subgradient(q, y_t)
         theta = theta + (v * g)[:, None] * z_t
         cum_loss = cum_loss + v * loss
-        return (theta, cum_loss, x), None
+        # Keep the last action actually played per sequence (padded rounds
+        # must not overwrite it — reference RunResult.x_last semantics).
+        x_keep = jnp.where((v > 0)[:, None], x, x_prev)
+        return (theta, cum_loss, x_keep), None
 
     init = (jnp.zeros((B, d), dtype=dtype), jnp.zeros((B,), dtype=dtype),
             jnp.zeros((B, d), dtype=dtype))

@@ -97,3 +97,33 @@ def test_exact_prefix_linf_matches_lp(batch):
     obj_lp = 0.5 * np.sum(np.abs(z1 @ lp.x[:d] - y1))
     obj_native = 0.5 * np.sum(np.abs(z1 @ acts[-1] - y1))
     assert obj_native == pytest.approx(obj_lp, abs=1e-4)
+
+
+def test_exact_prefix_l1_matches_lp(batch):
+    """HiGHS LP with the l1-ball split reformulation: x = x+ - x-,
+    x+, x- >= 0, sum(x+ + x-) <= 1.  Also asserts feasibility of the
+    native output (the l1-projection bug produced ||x||_1 >> 1)."""
+    from scipy.optimize import linprog
+    z, y = batch
+    z1, y1 = z[0][:50], y[0][:50]
+    acts = native.exact_prefix_actions(z1, y1, norm="l1",
+                                       iters_first=20000, iters_warm=6000,
+                                       tol=1e-10)
+    T, d = z1.shape
+    # vars = [x+ (d), x- (d), s (T)]
+    c = np.concatenate([np.zeros(2 * d), 0.5 * np.ones(T)])
+    A_ub = np.block([
+        [z1, -z1, -np.eye(T)],
+        [-z1, z1, -np.eye(T)],
+        [np.ones((1, d)), np.ones((1, d)), np.zeros((1, T))],
+    ])
+    b_ub = np.concatenate([y1, -y1, [1.0]])
+    lp = linprog(c, A_ub=A_ub, b_ub=b_ub,
+                 bounds=[(0, None)] * (2 * d) + [(0, None)] * T,
+                 method="highs")
+    x_lp = lp.x[:d] - lp.x[d:2 * d]
+    obj_lp = 0.5 * np.sum(np.abs(z1 @ x_lp - y1))
+    for p in (10, 50):
+        assert np.sum(np.abs(acts[p])) <= 1.0 + 1e-8, p
+    obj_native = 0.5 * np.sum(np.abs(z1 @ acts[-1] - y1))
+    assert obj_native == pytest.approx(obj_lp, abs=1e-4)
