@@ -12,8 +12,12 @@ larger is better.
 A "step" is one full online round for one sequence: action (scale +
 ball projection), prediction dot product, hinge loss, subgradient,
 accumulator update (fast_algorithms.py:99-112 semantics).  The measured
-program also includes the comparator replay epilogue, so the number is
+program also includes the comparator replay (in-kernel), so the number is
 end-to-end regret evaluation throughput, not a stripped inner loop.
+
+Round-2 kernel: bf16 HBM storage (half the traffic of f32; compute in
+f32) + fully fused in-kernel comparator replay + issue-rate-optimized
+step math (ops/pallas_game.py::regrets_fused).
 """
 
 import json
@@ -30,31 +34,33 @@ def _bench_tpu():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
-    from online_convex_optimization_tpu.ops.pallas_game import (
-        ftrl_scales, regrets_packed)
+    from online_convex_optimization_tpu.ops.pallas_game import regrets_fused
 
     from online_convex_optimization_tpu.data.device import random_packed_batch
 
-    # 131072 sequences of horizon 1024 resident in HBM (packed kernel
-    # layout (T, d, 8, lanes)); K chained launches amortize relay/dispatch
-    # latency out of the measurement (block_until_ready is async through
-    # the axon relay — a host fetch is the only honest fence).  Data is
-    # generated on device: host->device of 2.7 GB through the relay would
-    # dominate wall time and bench nothing.
+    # 262144 sequences of horizon 1024 resident in HBM as bf16 (packed
+    # kernel layout (T, d, 16, lanes)); K chained launches amortize
+    # relay/dispatch latency out of the measurement (block_until_ready is
+    # async through the axon relay — a host fetch is the only honest
+    # fence).  Data is generated on device: host->device of GBs through
+    # the relay would dominate wall time and bench nothing.
     T = 1024
-    LB = 16384          # lane-batch; total sequences = 8 * LB
+    LB = 16384          # lane-batch; total sequences = 16 * LB (bf16)
     K = 8
-    z_dev, y_dev = random_packed_batch(jax.random.key(0), T, LB)
-    scales = ftrl_scales(T, float(np.sqrt(2.0)))
+    z_dev, y_dev = random_packed_batch(jax.random.key(0), T, LB,
+                                       dtype=jnp.bfloat16)
+    S = z_dev.shape[2]
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(z, y, *, k):
-        # Distinct scales per launch defeat CSE; the sum forces all k.
+        # Distinct eta per launch defeats CSE; the sum forces all k.
         def body(i, acc):
-            sc = scales * (1.0 + 1e-6 * i.astype(jnp.float32))
-            return acc + regrets_packed(z, y, sc, alg_flag=0)
+            eta = np.float32(np.sqrt(2.0)) * (
+                1.0 + 1e-6 * i.astype(jnp.float32))
+            return acc + regrets_fused(z, y, eta, alg_flag=0,
+                                       lanes_per_program=256, unroll=8)
         return jax.lax.fori_loop(0, k, body,
-                                 jnp.zeros((8, LB), jnp.float32))
+                                 jnp.zeros((S, LB), jnp.float32))
 
     np.asarray(run_k(z_dev, y_dev, k=K))  # compile + warm (host fetch)
 
@@ -64,7 +70,7 @@ def _bench_tpu():
         np.asarray(run_k(z_dev, y_dev, k=K))  # fetch => true completion
         times.append(time.perf_counter() - t0)
     best = min(times)
-    steps = K * 8 * LB * T
+    steps = K * S * LB * T
     return steps / best
 
 

@@ -20,7 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from online_convex_optimization_tpu.ops.pallas_game import LANES, SUBLANES
+from online_convex_optimization_tpu.ops.pallas_game import (
+    LANES, SUBLANES, sublanes_for)
 
 
 def _clip_rows(z: jnp.ndarray) -> jnp.ndarray:
@@ -55,15 +56,18 @@ def separable_stream_batch(key, B: int, T: int, d: int = 5,
     return z, y, u
 
 
-@partial(jax.jit, static_argnames=("T", "lane_batch", "d"))
-def random_packed_batch(key, T: int, lane_batch: int, d: int = 5):
-    """Generate directly in the v2 kernel layout: (T, d, 8, lane_batch) z
-    and (T, 8, lane_batch) y — 8 * lane_batch sequences total."""
+@partial(jax.jit, static_argnames=("T", "lane_batch", "d", "dtype"))
+def random_packed_batch(key, T: int, lane_batch: int, d: int = 5,
+                        dtype=jnp.float32):
+    """Generate directly in the v2 kernel layout: (T, d, S, lane_batch) z
+    and (T, S, lane_batch) y — S * lane_batch sequences total, where S is
+    the dtype's sublane count (8 for f32, 16 for bf16 storage)."""
+    S = sublanes_for(dtype)
     kz, ky = jax.random.split(key)
-    z = jax.random.normal(kz, (T, d, SUBLANES, lane_batch), jnp.float32)
+    z = jax.random.normal(kz, (T, d, S, lane_batch), jnp.float32)
     norms = jnp.sqrt(jnp.sum(z * z, axis=1, keepdims=True))
-    z = z / jnp.maximum(norms, 1.0)
-    y = jax.random.rademacher(ky, (T, SUBLANES, lane_batch), jnp.float32)
+    z = (z / jnp.maximum(norms, 1.0)).astype(dtype)
+    y = jax.random.rademacher(ky, (T, S, lane_batch), jnp.float32).astype(dtype)
     return z, y
 
 

@@ -42,7 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBLANES = 8
-SEQ_TILE = LANES * SUBLANES  # sequences per grid program
+SEQ_TILE = LANES * SUBLANES  # sequences per (f32) grid program
+
+# bf16 storage mode: z/y live in HBM as bfloat16 (half the traffic of f32 —
+# the kernel is HBM-bandwidth-bound, so this is ~2x steps/s), converted to
+# f32 registers on read; theta/cum accumulate in f32.  The native bf16 tile
+# is (16, 128), so packed bf16 arrays carry 16 sublanes.
+SUBLANES_BF16 = 16
+
+
+def sublanes_for(dtype) -> int:
+    """Native sublane count for a packed storage dtype."""
+    return SUBLANES_BF16 if jnp.dtype(dtype) == jnp.bfloat16 else SUBLANES
 
 
 # ------------------------------------------------------------------
@@ -120,21 +131,24 @@ def _replay_chunk(ct, read_z, read_y, xc_acc, d, comp0):
     return jax.lax.fori_loop(0, ct, one, comp0)
 
 
-def _choose_tiles(B, T, d, lanes_per_program, chunk_t, unroll):
+def _choose_tiles(B, T, d, lanes_per_program, chunk_t, unroll, *,
+                  sublanes: int = SUBLANES, itemsize: int = 4):
     """Pick (lanes, ct, unroll, nchunks, nb): lanes is a 128-multiple
     divisor of B; ct a power-of-two divisor of T sized so the
-    double-buffered z block stays inside the VMEM budget."""
+    double-buffered (z + y) blocks stay inside the VMEM budget."""
     assert B % LANES == 0, B
     lanes = min(lanes_per_program, B)
     lanes -= lanes % LANES
     while B % lanes:
         lanes -= LANES
     vmem_budget = 11 * 1024 * 1024
-    while vmem_budget // (2 * d * SUBLANES * lanes * 4) < 8 and lanes > LANES:
+    per_t = 2 * (d + 1) * sublanes * lanes * itemsize  # dbl-buffered z + y
+    while vmem_budget // per_t < 8 and lanes > LANES:
         lanes = max(lanes // 2 - (lanes // 2) % LANES, LANES)
         while B % lanes:
             lanes -= LANES
-    bound = vmem_budget // (2 * d * SUBLANES * lanes * 4)
+        per_t = 2 * (d + 1) * sublanes * lanes * itemsize
+    bound = vmem_budget // per_t
     if bound < 1:
         raise ValueError(
             f"d={d} too large for the VMEM budget at lanes={lanes}")
@@ -164,12 +178,14 @@ def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
         cum_acc[:] = jnp.zeros_like(cum_acc)
 
     def one(k, theta, cum):
-        z_t = [z_ref[k, j] for j in range(d)]
+        # bf16 storage converts to f32 registers here (free for f32 inputs).
+        z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
         if alg_flag == 0:
             eff_fn = functools.partial(_ftrl_eff, scale_ref[chunk * ct + k])
         else:
             eff_fn = _ftl_eff
-        return _play_step(z_t, y_ref[k], theta, cum, eff_fn)
+        return _play_step(z_t, y_ref[k].astype(jnp.float32), theta, cum,
+                          eff_fn)
 
     _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
 
@@ -189,8 +205,9 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
     """Run the online game on packed inputs.
 
     Args:
-      z_pack: (T, d, 8, B) f32, B % 128 == 0, T % chunk_t == 0.
-      y_pack: (T, 8, B) f32 (zero rows are inert padding).
+      z_pack: (T, d, S, B) f32 or bf16, B % 128 == 0; S = 8 (f32) / 16
+        (bf16).  bf16 storage halves HBM traffic; compute stays f32.
+      y_pack: (T, S, B) same dtype (zero rows are inert padding).
       scales: (T,) f32 per-round FTRL scale -(eta0/sqrt(max(1,t))).
       lanes_per_program: preferred width each grid program owns; >128
         interleaves multiple independent lane-tiles per op to hide the
@@ -199,12 +216,13 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
         clamped (overriding ``chunk_t``) so the double-buffered z block
         stays inside the VMEM budget.
     Returns:
-      (cum_loss (8, B), theta (d, 8, B)).
+      (cum_loss (S, B), theta (d, S, B)) in f32.
     """
     T, d, S, B = z_pack.shape
-    assert S == SUBLANES, S
+    assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
     lanes, ct, unroll, nchunks, nb = _choose_tiles(
-        B, T, d, lanes_per_program, chunk_t, unroll)
+        B, T, d, lanes_per_program, chunk_t, unroll,
+        sublanes=S, itemsize=z_pack.dtype.itemsize)
 
     kernel = functools.partial(_game_kernel, ct=ct, d=d, nchunks=nchunks,
                                alg_flag=alg_flag, unroll=unroll)
@@ -212,29 +230,118 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
         num_scalar_prefetch=1,  # scales
         grid=(nb, nchunks),
         in_specs=[
-            pl.BlockSpec((ct, d, SUBLANES, lanes), lambda i, j, s: (j, 0, 0, i)),
-            pl.BlockSpec((ct, SUBLANES, lanes), lambda i, j, s: (j, 0, i)),
+            pl.BlockSpec((ct, d, S, lanes), lambda i, j, s: (j, 0, 0, i)),
+            pl.BlockSpec((ct, S, lanes), lambda i, j, s: (j, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, lanes), lambda i, j, s: (0, i)),
-            pl.BlockSpec((d, SUBLANES, lanes), lambda i, j, s: (0, 0, i)),
+            pl.BlockSpec((S, lanes), lambda i, j, s: (0, i)),
+            pl.BlockSpec((d, S, lanes), lambda i, j, s: (0, 0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),
+            pltpu.VMEM((d, S, lanes), jnp.float32),
+            pltpu.VMEM((S, lanes), jnp.float32),
         ],
     )
     cum, theta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((SUBLANES, B), jnp.float32),
-            jax.ShapeDtypeStruct((d, SUBLANES, B), jnp.float32),
+            jax.ShapeDtypeStruct((S, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, S, B), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(scales, z_pack, y_pack)
+    return cum, theta
+
+
+def _game_eta_kernel(isqrt_ref, eta_ref, z_ref, y_ref, cum_ref, theta_ref,
+                     theta_acc, cum_acc, *, ct: int, d: int, nchunks: int,
+                     unroll: int):
+    """FTRL game step with a PER-SEQUENCE eta tile.
+
+    eta (S, lanes) VMEM gives every lane its own step size, so mixed-eta
+    scenario batches (hyperparameter axis folded into the sequence axis)
+    run at full main-kernel speed with no data re-streaming.
+    isqrt (T,) SMEM holds 1/sqrt(max(1,t)).
+    """
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        theta_acc[:] = jnp.zeros_like(theta_acc)
+        cum_acc[:] = jnp.zeros_like(cum_acc)
+
+    neg_eta = -eta_ref[:]
+
+    def one(k, theta, cum):
+        z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
+        scale = neg_eta * isqrt_ref[chunk * ct + k]
+        return _play_step(z_t, y_ref[k].astype(jnp.float32), theta, cum,
+                          functools.partial(_ftrl_eff, scale))
+
+    _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
+
+    @pl.when(chunk == nchunks - 1)
+    def _finalize():
+        cum_ref[:] = cum_acc[:]
+        for j in range(d):
+            theta_ref[j] = theta_acc[j]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk_t", "unroll", "lanes_per_program",
+                                    "interpret"))
+def play_packed_eta(z_pack, y_pack, eta_pack, *, chunk_t: int = 256,
+                    unroll: int = 4, lanes_per_program: int = 4 * LANES,
+                    interpret: bool = False):
+    """FTRL game with per-sequence eta (eta_pack (S, B) f32).
+
+    Same layout/semantics as ``play_packed(alg_flag=0)`` except the step
+    scale is -eta_pack * isqrt(t) per lane.  Returns (cum (S, B),
+    theta (d, S, B)) in f32.
+    """
+    T, d, S, B = z_pack.shape
+    assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
+    assert eta_pack.shape == (S, B), eta_pack.shape
+    lanes, ct, unroll, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, unroll,
+        sublanes=S, itemsize=z_pack.dtype.itemsize)
+
+    t = np.arange(1, T + 1, dtype=np.float32)
+    isqrt = jnp.asarray(1.0 / np.sqrt(np.maximum(t, 1.0)))
+
+    kernel = functools.partial(_game_eta_kernel, ct=ct, d=d, nchunks=nchunks,
+                               unroll=unroll)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # isqrt
+        grid=(nb, nchunks),
+        in_specs=[
+            pl.BlockSpec((S, lanes), lambda i, j, s: (0, i)),  # eta
+            pl.BlockSpec((ct, d, S, lanes), lambda i, j, s: (j, 0, 0, i)),
+            pl.BlockSpec((ct, S, lanes), lambda i, j, s: (j, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, lanes), lambda i, j, s: (0, i)),
+            pl.BlockSpec((d, S, lanes), lambda i, j, s: (0, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, S, lanes), jnp.float32),
+            pltpu.VMEM((S, lanes), jnp.float32),
+        ],
+    )
+    cum, theta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, S, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(isqrt, jnp.asarray(eta_pack, jnp.float32), z_pack, y_pack)
     return cum, theta
 
 
@@ -266,9 +373,9 @@ def _sweep_kernel(isqrt_ref, eta_ref, z_ref, y_ref, out_ref,
     @pl.when(jnp.logical_not(replay))
     def _play():
         def one(k, theta, cum):
-            z_t = [z_ref[k, j] for j in range(d)]
+            z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
             scale = -eta * isqrt_ref[chunk * ct + k]
-            return _play_step(z_t, y_ref[k], theta, cum,
+            return _play_step(z_t, y_ref[k].astype(jnp.float32), theta, cum,
                               functools.partial(_ftrl_eff, scale))
 
         _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
@@ -281,9 +388,9 @@ def _sweep_kernel(isqrt_ref, eta_ref, z_ref, y_ref, out_ref,
 
         # Accumulate the comparator loss as a negative contribution so the
         # out block holds cum - comp once the phase completes.
-        comp = _replay_chunk(ct, lambda k, j: z_ref[k, j],
-                             lambda k: y_ref[k], xc_acc, d,
-                             jnp.zeros_like(cum_acc[:]))
+        comp = _replay_chunk(ct, lambda k, j: z_ref[k, j].astype(jnp.float32),
+                             lambda k: y_ref[k].astype(jnp.float32), xc_acc,
+                             d, jnp.zeros_like(cum_acc[:]))
         cum_acc[:] = cum_acc[:] - comp
 
     @pl.when(j_step == 2 * nchunks - 1)
@@ -300,15 +407,16 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
     """FTRL regrets for every (sequence, eta0) pair at fused-kernel speed.
 
     Args:
-      z_pack: (T, d, 8, B); y_pack: (T, 8, B); eta_grid: (E,) f32.
-    Returns: (E, 8, B) regrets — BASELINE config 2 ("learning-rate sweep
+      z_pack: (T, d, S, B) f32/bf16; y_pack: (T, S, B); eta_grid: (E,) f32.
+    Returns: (E, S, B) regrets — BASELINE config 2 ("learning-rate sweep
     over 64 settings") as one kernel launch.
     """
     T, d, S, B = z_pack.shape
     E = eta_grid.shape[0]
-    assert S == SUBLANES, S
+    assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
     lanes, ct, u, nchunks, nb = _choose_tiles(
-        B, T, d, lanes_per_program, chunk_t, unroll)
+        B, T, d, lanes_per_program, chunk_t, unroll,
+        sublanes=S, itemsize=z_pack.dtype.itemsize)
 
     t = np.arange(1, T + 1, dtype=np.float32)
     isqrt = jnp.asarray(1.0 / np.sqrt(np.maximum(t, 1.0)))
@@ -320,28 +428,182 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
         num_scalar_prefetch=2,  # isqrt, eta_grid
         grid=(nb, E, 2 * nchunks),
         in_specs=[
-            pl.BlockSpec((ct, d, SUBLANES, lanes),
+            pl.BlockSpec((ct, d, S, lanes),
                          lambda i, e, j, s1, s2: (j % nchunks, 0, 0, i)),
-            pl.BlockSpec((ct, SUBLANES, lanes),
+            pl.BlockSpec((ct, S, lanes),
                          lambda i, e, j, s1, s2: (j % nchunks, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, lanes),
+        out_specs=pl.BlockSpec((1, S, lanes),
                                lambda i, e, j, s1, s2: (e, 0, i)),
         scratch_shapes=[
-            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),
-            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),
+            pltpu.VMEM((d, S, lanes), jnp.float32),
+            pltpu.VMEM((S, lanes), jnp.float32),
+            pltpu.VMEM((d, S, lanes), jnp.float32),
         ],
     )
     regrets = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((E, SUBLANES, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E, S, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(isqrt, eta_grid, z_pack, y_pack)
     return regrets
+
+
+def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
+                   theta_acc, cum_acc, xc_acc, *, ct: int, d: int,
+                   nchunks: int, alg_flag: int, per_lane: bool, unroll: int):
+    """End-to-end regret kernel: play phase + in-kernel comparator replay.
+
+    Issue-rate-optimized step (the play loop is VPU-issue-bound, ~1 native
+    op/cycle measured):
+      - the accumulator is theta2 = 2*theta (bit-exact: updates add s*z
+        instead of 0.5*s*z), killing the per-step 0.5 multiply; all
+        consumers are scale-invariant (FTL normalize) or fold the 1/2 into
+        prefetched constants;
+      - scaleh (T,) SMEM holds -eta/(2*sqrt(t)) so diff = scaleh*clip*dotz2
+        - y reproduces scale*clip*<z,theta> - y;
+      - s2 (T,) SMEM holds eta^2/(4*max(1,t)) so clip = rsqrt(max(s2*nth2,
+        1)) reproduces rsqrt(max(scale^2*||theta||^2, 1)) without the
+        per-step scale*scale multiply;
+      - cum accumulates |q - y| un-halved; the final write emits
+        0.5*(cum - comp).
+    per_lane=True swaps the SMEM eta for an (S, lanes) eta tile input
+    (mixed-eta scenario batches at full speed); scaleh/s2 then hold
+    -isqrt(t)/2 and 1/(4*max(1,t)) with eta folded in-kernel (+2 ops).
+    """
+    j_step = pl.program_id(1)
+    chunk = j_step % nchunks
+    replay = j_step >= nchunks
+
+    @pl.when(j_step == 0)
+    def _init():
+        theta_acc[:] = jnp.zeros_like(theta_acc)
+        cum_acc[:] = jnp.zeros_like(cum_acc)
+
+    if per_lane:
+        eta = eta_ref[:]
+        eta2 = eta * eta
+
+    @pl.when(jnp.logical_not(replay))
+    def _play():
+        def one(k, theta2, cum):
+            z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
+            y_t = y_ref[k].astype(jnp.float32)
+            dotz2 = z_t[0] * theta2[0]
+            nth2 = theta2[0] * theta2[0]
+            for j in range(1, d):
+                dotz2 = dotz2 + z_t[j] * theta2[j]
+                nth2 = nth2 + theta2[j] * theta2[j]
+            t_idx = chunk * ct + k
+            if alg_flag == 0:
+                if per_lane:
+                    s2 = eta2 * s2_ref[t_idx]
+                    scaleh = eta * scaleh_ref[t_idx]
+                else:
+                    s2 = s2_ref[t_idx]
+                    scaleh = scaleh_ref[t_idx]
+                clip = jax.lax.rsqrt(jnp.maximum(s2 * nth2, 1.0))
+                diff = (scaleh * clip) * dotz2 - y_t
+            else:
+                eff = _ftl_eff(nth2)
+                diff = eff * dotz2 - y_t
+            s = jnp.sign(diff)
+            cum = cum + diff * s          # == |q - y| (un-halved)
+            theta2 = [theta2[j] + s * z_t[j] for j in range(d)]
+            return theta2, cum
+
+        _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
+
+    @pl.when(replay)
+    def _replay():
+        @pl.when(j_step == nchunks)
+        def _comparator_action():
+            _comparator_from(theta_acc, xc_acc, d)  # normalize: 2x cancels
+
+        comp = _replay_chunk(
+            ct, lambda k, j: z_ref[k, j].astype(jnp.float32),
+            lambda k: y_ref[k].astype(jnp.float32), xc_acc, d,
+            jnp.zeros_like(cum_acc[:]))
+        # _replay_chunk accumulates 0.5*|q - y| (already halved); cum is
+        # un-halved, so fold both into the final write.
+        cum_acc[:] = cum_acc[:] - 2.0 * comp
+
+    @pl.when(j_step == 2 * nchunks - 1)
+    def _finalize():
+        out_ref[:] = 0.5 * cum_acc[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("alg_flag", "chunk_t", "unroll",
+                                    "lanes_per_program", "interpret"))
+def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
+                  chunk_t: int = 256, unroll: int = 4,
+                  lanes_per_program: int = 4 * LANES,
+                  interpret: bool = False):
+    """Fully fused regret evaluation: game + comparator replay in ONE
+    kernel, never touching HBM between phases — the headline throughput
+    path (see _regret_kernel for the op-level design).
+
+    Args:
+      z_pack: (T, d, S, B) f32/bf16; y_pack: (T, S, B).
+      eta: scalar FTRL step scale, OR an (S, B) per-sequence eta array
+        (FTRL only).  Ignored when alg_flag == 1 (FTL).
+    Returns: (S, B) f32 regrets.
+    """
+    T, d, S, B = z_pack.shape
+    assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
+    lanes, ct, u, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, unroll,
+        sublanes=S, itemsize=z_pack.dtype.itemsize)
+
+    eta_arr = jnp.asarray(eta, jnp.float32)
+    per_lane = eta_arr.ndim == 2
+    t = np.arange(1, T + 1, dtype=np.float32)
+    isqrt = jnp.asarray(1.0 / np.sqrt(np.maximum(t, 1.0)))
+    inv_t = jnp.asarray(1.0 / np.maximum(t, 1.0))
+    if per_lane:
+        assert eta_arr.shape == (S, B), eta_arr.shape
+        scaleh = -0.5 * isqrt
+        s2 = 0.25 * inv_t
+        eta_in = [eta_arr]
+        eta_specs = [pl.BlockSpec((S, lanes), lambda i, j, s1, s2: (0, i))]
+    else:
+        scaleh = (-0.5 * eta_arr) * isqrt
+        s2 = (0.25 * eta_arr * eta_arr) * inv_t
+        # Dummy (1, lanes)-shaped eta input keeps one kernel signature.
+        eta_in = [jnp.zeros((S, B), jnp.float32)]
+        eta_specs = [pl.BlockSpec((S, lanes), lambda i, j, s1, s2: (0, i))]
+
+    kernel = functools.partial(_regret_kernel, ct=ct, d=d, nchunks=nchunks,
+                               alg_flag=alg_flag, per_lane=per_lane, unroll=u)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # scaleh, s2
+        grid=(nb, 2 * nchunks),
+        in_specs=eta_specs + [
+            pl.BlockSpec((ct, d, S, lanes),
+                         lambda i, j, s1, s2: (j % nchunks, 0, 0, i)),
+            pl.BlockSpec((ct, S, lanes),
+                         lambda i, j, s1, s2: (j % nchunks, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((S, lanes), lambda i, j, s1, s2: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((d, S, lanes), jnp.float32),   # theta2
+            pltpu.VMEM((S, lanes), jnp.float32),      # cum (un-halved)
+            pltpu.VMEM((d, S, lanes), jnp.float32),   # x_c
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scaleh, s2, eta_in[0], z_pack, y_pack)
+    return out
 
 
 def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, cum_acc,
@@ -452,63 +714,110 @@ def ftrl_scales(T: int, eta0: float) -> jnp.ndarray:
     return jnp.asarray(-(np.float32(eta0) / np.sqrt(np.maximum(t, 1.0))))
 
 
+def _comparator_epilogue(z_pack, y_pack, cum, theta):
+    """Final-FTL comparator replay as an XLA epilogue: regrets = cum - comp."""
+    nth = jnp.sum(theta * theta, axis=0, keepdims=False)         # (S, B)
+    eff = jnp.where(nth > 0.0, -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+    # q_all[t] = eff * <z_t, theta>; comparator loss = sum 0.5|q_all - y|.
+    q = jnp.einsum("tdsb,dsb->tsb", z_pack, theta,
+                   preferred_element_type=jnp.float32)
+    comp = 0.5 * jnp.sum(jnp.abs(eff[None] * q
+                                 - y_pack.astype(jnp.float32)), axis=0)
+    return cum - comp
+
+
 @functools.partial(jax.jit, static_argnames=("alg_flag", "chunk_t", "unroll",
                                              "lanes_per_program", "interpret"))
 def regrets_packed(z_pack, y_pack, scales, *, alg_flag: int = 0,
                    chunk_t: int = 256, unroll: int = 4,
                    lanes_per_program: int = 4 * LANES,
                    interpret: bool = False):
-    """cum/theta from the kernel + comparator epilogue => regrets (8, B)."""
+    """cum/theta from the kernel + comparator epilogue => regrets (S, B)."""
     cum, theta = play_packed(z_pack, y_pack, scales, alg_flag=alg_flag,
                              chunk_t=chunk_t, unroll=unroll,
                              lanes_per_program=lanes_per_program,
                              interpret=interpret)
-    nth = jnp.sum(theta * theta, axis=0, keepdims=False)         # (8, B)
-    eff = jnp.where(nth > 0.0, -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
-    # q_all[t] = eff * <z_t, theta>; comparator loss = sum 0.5|q_all - y|.
-    q = jnp.einsum("tdsb,dsb->tsb", z_pack, theta,
-                   preferred_element_type=jnp.float32)
-    comp = 0.5 * jnp.sum(jnp.abs(eff[None] * q - y_pack), axis=0)
-    return cum - comp
+    return _comparator_epilogue(z_pack, y_pack, cum, theta)
 
 
-def pack_sequences(z: jnp.ndarray, y: jnp.ndarray):
-    """(B, T, d) / (B, T) -> packed kernel layout; returns (z_pack, y_pack, B)."""
+@functools.partial(jax.jit, static_argnames=("chunk_t", "unroll",
+                                             "lanes_per_program", "interpret"))
+def regrets_packed_eta(z_pack, y_pack, eta_pack, *, chunk_t: int = 256,
+                       unroll: int = 4, lanes_per_program: int = 4 * LANES,
+                       interpret: bool = False):
+    """Per-sequence-eta FTRL regrets (mixed-eta scenario batches)."""
+    cum, theta = play_packed_eta(z_pack, y_pack, eta_pack, chunk_t=chunk_t,
+                                 unroll=unroll,
+                                 lanes_per_program=lanes_per_program,
+                                 interpret=interpret)
+    return _comparator_epilogue(z_pack, y_pack, cum, theta)
+
+
+def pack_sequences(z: jnp.ndarray, y: jnp.ndarray, dtype=jnp.float32):
+    """(B, T, d) / (B, T) -> packed kernel layout; returns (z_pack, y_pack, B).
+
+    dtype selects HBM storage: f32 (8 sublanes) or bf16 (16 sublanes, half
+    the traffic; labels stay exact, z rows round to bf16).
+    """
     B, T, d = z.shape
-    pad_b = (-B) % SEQ_TILE
-    z = jnp.pad(z.astype(jnp.float32), ((0, pad_b), (0, 0), (0, 0)))
-    y = jnp.pad(y.astype(jnp.float32), ((0, pad_b), (0, 0)))
+    S = sublanes_for(dtype)
+    seq_tile = LANES * S
+    pad_b = (-B) % seq_tile
+    z = jnp.pad(z.astype(dtype), ((0, pad_b), (0, 0), (0, 0)))
+    y = jnp.pad(y.astype(dtype), ((0, pad_b), (0, 0)))
     Bp = B + pad_b
-    nb = Bp // SEQ_TILE
-    # (B, T, d) -> (T, d, 8, 128*nb): sequence index b = (g, s, l) with the
+    nb = Bp // seq_tile
+    # (B, T, d) -> (T, d, S, 128*nb): sequence index b = (g, s, l) with the
     # lane-fastest order matching the block index map.
-    z_pack = (z.reshape(nb, SUBLANES, LANES, T, d)
+    z_pack = (z.reshape(nb, S, LANES, T, d)
                .transpose(3, 4, 1, 0, 2)
-               .reshape(T, d, SUBLANES, nb * LANES))
-    y_pack = (y.reshape(nb, SUBLANES, LANES, T)
+               .reshape(T, d, S, nb * LANES))
+    y_pack = (y.reshape(nb, S, LANES, T)
                .transpose(3, 1, 0, 2)
-               .reshape(T, SUBLANES, nb * LANES))
+               .reshape(T, S, nb * LANES))
     return z_pack, y_pack, B
 
 
-def unpack_result(res_8B: jnp.ndarray, B: int) -> jnp.ndarray:
-    """(8, nb*128) kernel output -> (B,) in original sequence order."""
-    S, BL = res_8B.shape
+def unpack_result(res_SB: jnp.ndarray, B: int) -> jnp.ndarray:
+    """(S, nb*128) kernel output -> (B,) in original sequence order."""
+    S, BL = res_SB.shape
     nb = BL // LANES
-    out = (res_8B.reshape(SUBLANES, nb, LANES)
+    out = (res_SB.reshape(S, nb, LANES)
            .transpose(1, 0, 2)
-           .reshape(nb * SEQ_TILE))
+           .reshape(nb * S * LANES))
     return out[:B]
 
 
+def pack_per_seq(vals: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(B,) per-sequence values -> (S, nb*128) kernel lane layout (the
+    inverse of ``unpack_result``), e.g. per-sequence eta grids."""
+    B = vals.shape[0]
+    seq_tile = LANES * S
+    pad_b = (-B) % seq_tile
+    v = jnp.pad(vals.astype(jnp.float32), (0, pad_b))
+    nb = (B + pad_b) // seq_tile
+    return v.reshape(nb, S, LANES).transpose(1, 0, 2).reshape(S, nb * LANES)
+
+
 def simulate_linear_pallas_v2(z, y, alg_flag: int, eta0, *,
-                              interpret: bool = False):
-    """Drop-in batched regret evaluation via the v2 kernel ((B,T,d) API)."""
+                              dtype=jnp.float32, interpret: bool = False):
+    """Drop-in batched regret evaluation via the v2 kernel ((B,T,d) API).
+
+    ``eta0`` may be a scalar (shared step size) or a (B,) array (per-
+    sequence step sizes -> the per-lane-eta kernel).
+    """
     z = jnp.asarray(z)
     y = jnp.asarray(y)
     T = z.shape[1]
-    z_pack, y_pack, B = pack_sequences(z, y)
-    scales = ftrl_scales(T, float(eta0))
-    reg = regrets_packed(z_pack, y_pack, scales, alg_flag=alg_flag,
-                         interpret=interpret)
+    z_pack, y_pack, B = pack_sequences(z, y, dtype)
+    eta_arr = jnp.asarray(eta0, jnp.float32)
+    if eta_arr.ndim == 1:
+        assert alg_flag == 0, "per-sequence eta is FTRL-only"
+        eta_pack = pack_per_seq(eta_arr, z_pack.shape[2])
+        reg = regrets_packed_eta(z_pack, y_pack, eta_pack,
+                                 interpret=interpret)
+    else:
+        scales = ftrl_scales(T, float(eta0))
+        reg = regrets_packed(z_pack, y_pack, scales, alg_flag=alg_flag,
+                             interpret=interpret)
     return unpack_result(reg, B)

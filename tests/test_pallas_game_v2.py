@@ -100,6 +100,97 @@ def test_eta_sweep_kernel_interpret_matches_scan_sweep():
         np.testing.assert_allclose(got_e, want[:, e], atol=5e-4)
 
 
+def test_v2_bf16_pack_roundtrip():
+    from online_convex_optimization_tpu.ops.pallas_game import SUBLANES_BF16
+    z, y = _batch(B=100, T=16)
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y),
+                                       jnp.bfloat16)
+    assert z_pack.shape == (16, 5, SUBLANES_BF16, 128)
+    assert z_pack.dtype == jnp.bfloat16
+    zp = np.asarray(z_pack.astype(jnp.float32))
+    for b in (0, 57, 99):
+        s, l = divmod(b, 128)
+        np.testing.assert_array_equal(
+            zp[:, :, s, l], z[b].astype(jnp.bfloat16).astype(np.float32))
+
+
+def test_v2_bf16_interpret_matches_scan():
+    """bf16-stored game == f32 scan run on the SAME bf16-rounded inputs."""
+    z, y = _batch(B=SEQ_TILE, T=32, seed=2)
+    got = np.asarray(simulate_linear_pallas_v2(z, y, 0, 1.3,
+                                               dtype=jnp.bfloat16,
+                                               interpret=True))
+    z_rounded = jnp.asarray(z).astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(simulate_linear_batch(z_rounded, jnp.asarray(y), 0,
+                                            1.3).regret, dtype=np.float32)
+    np.testing.assert_allclose(got[:SEQ_TILE], want, atol=5e-4)
+
+
+def test_v2_per_lane_eta_interpret_matches_scan():
+    """Every sequence gets its own eta -> matches the scan's (B,) eta0."""
+    z, y = _batch(B=SEQ_TILE, T=32, seed=7)
+    etas = np.linspace(0.2, 3.0, SEQ_TILE).astype(np.float32)
+    got = np.asarray(simulate_linear_pallas_v2(z, y, 0, etas,
+                                               interpret=True))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            0, jnp.asarray(etas)).regret,
+                      dtype=np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize("alg_flag", [0, 1])
+def test_regrets_fused_interpret_matches_scan(alg_flag):
+    from online_convex_optimization_tpu.ops.pallas_game import regrets_fused
+    z, y = _batch(B=SEQ_TILE, T=32, seed=11)
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    got = np.asarray(unpack_result(
+        regrets_fused(z_pack, y_pack, 1.3, alg_flag=alg_flag,
+                      interpret=True), B))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            alg_flag, 1.3).regret,
+                      dtype=np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_regrets_fused_per_lane_eta_interpret():
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_per_seq, regrets_fused)
+    z, y = _batch(B=SEQ_TILE, T=32, seed=12)
+    etas = np.linspace(0.2, 3.0, SEQ_TILE).astype(np.float32)
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    eta_pack = pack_per_seq(jnp.asarray(etas), z_pack.shape[2])
+    got = np.asarray(unpack_result(
+        regrets_fused(z_pack, y_pack, eta_pack, interpret=True), B))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            0, jnp.asarray(etas)).regret,
+                      dtype=np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_regrets_fused_bf16_interpret():
+    from online_convex_optimization_tpu.ops.pallas_game import regrets_fused
+    z, y = _batch(B=SEQ_TILE, T=32, seed=13)
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y),
+                                       jnp.bfloat16)
+    got = np.asarray(unpack_result(
+        regrets_fused(z_pack, y_pack, 1.3, interpret=True), B))
+    z_rounded = jnp.asarray(z).astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(simulate_linear_batch(z_rounded, jnp.asarray(y), 0,
+                                            1.3).regret, dtype=np.float32)
+    np.testing.assert_allclose(got[:SEQ_TILE], want, atol=5e-4)
+
+
+def test_pack_per_seq_inverts_unpack():
+    from online_convex_optimization_tpu.ops.pallas_game import pack_per_seq
+    vals = jnp.arange(2 * SEQ_TILE, dtype=jnp.float32)
+    packed = pack_per_seq(vals, 8)
+    rec = np.asarray(
+        __import__("online_convex_optimization_tpu.ops.pallas_game",
+                   fromlist=["unpack_result"]).unpack_result(
+                       packed, 2 * SEQ_TILE))
+    np.testing.assert_array_equal(rec, np.asarray(vals))
+
+
 @pytest.mark.requires_tpu
 @pytest.mark.parametrize("alg_flag", [0, 1])
 def test_v2_tpu_matches_scan(alg_flag):
@@ -109,3 +200,24 @@ def test_v2_tpu_matches_scan(alg_flag):
         simulate_linear_batch(jnp.asarray(z), jnp.asarray(y), alg_flag,
                               1.25).regret)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+@pytest.mark.requires_tpu
+def test_v2_tpu_bf16_matches_scan():
+    z, y = _batch(B=2 * SEQ_TILE, T=256, seed=5)
+    got = np.asarray(simulate_linear_pallas_v2(z, y, 0, 1.25,
+                                               dtype=jnp.bfloat16))
+    z_rounded = jnp.asarray(z).astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(simulate_linear_batch(z_rounded, jnp.asarray(y), 0,
+                                            1.25).regret)
+    np.testing.assert_allclose(got[:2 * SEQ_TILE], want, atol=5e-3)
+
+
+@pytest.mark.requires_tpu
+def test_v2_tpu_per_lane_eta_matches_scan():
+    z, y = _batch(B=2 * SEQ_TILE, T=256, seed=6)
+    etas = np.linspace(0.2, 3.0, 2 * SEQ_TILE).astype(np.float32)
+    got = np.asarray(simulate_linear_pallas_v2(z, y, 0, etas))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            0, jnp.asarray(etas)).regret)
+    np.testing.assert_allclose(got, want, atol=5e-3)
