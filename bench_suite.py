@@ -3,10 +3,13 @@
 Measures every major compute path on the current backend and appends
 JSON-line records to BENCH_DETAILS.jsonl:
 
-  - pallas_v2      : fused game kernel incl. comparator (steps/s)
+  - pallas_fused   : single-pass bf16 regret kernel (headline twin)
+  - pallas_v2      : f32 kernel + XLA comparator epilogue (steps/s)
+  - pallas_smart   : fused single-pass SMART kernel (steps/s)
+  - pallas_synth   : generation-fused kernel, zero HBM data traffic
+  - eta_sweep      : 64-point learning-rate sweep kernel (seq*steps/s)
   - xla_scan       : batched lax.scan game (steps/s)
-  - smart          : full SMART (two scans + prefix matmul) (steps/s)
-  - eta_sweep      : 64-point learning-rate sweep (seq*steps*settings/s)
+  - smart          : SMART scan path, O(T d) identity phase B (steps/s)
   - exact_prefix   : all-prefix ADMM (prefix solves/s)
 
 Run:  python bench_suite.py [--small]
@@ -59,32 +62,77 @@ def main():
     records = []
     rng = np.random.default_rng(0)
 
-    # --- pallas v2 (TPU only) ---
+    # --- pallas kernels (TPU only) ---
     if on_tpu:
+        import math
+
         from online_convex_optimization_tpu.data.device import (
             random_packed_batch)
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            regrets_fused, synthetic_regrets)
+        from online_convex_optimization_tpu.ops.pallas_smart import (
+            smart_regrets_packed)
+
         T, LB, K = 1024, 16384, 8
-        zd, yd = random_packed_batch(jax.random.key(0), T, LB)
+        zd, yd = random_packed_batch(jax.random.key(0), T, LB,
+                                     dtype=jnp.bfloat16)
+        S = zd.shape[2]
         scales = ftrl_scales(T, np.sqrt(2.0))
 
+        # Headline: single-pass fused regret kernel, bf16 HBM storage.
         @functools.partial(jax.jit, static_argnames=("k",))
-        def run_k(z, y, *, k):
+        def run_fused(z, y, *, k):
+            def body(i, acc):
+                eta = np.float32(np.sqrt(2.0)) * (
+                    1.0 + 1e-6 * i.astype(jnp.float32))
+                return acc + regrets_fused(z, y, eta, alg_flag=0,
+                                           lanes_per_program=256, unroll=8)
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((S, LB), jnp.float32))
+
+        secs = _fetch_time(lambda: run_fused(zd, yd, k=K)) / K
+        records.append({"metric": "pallas_fused_steps_per_s",
+                        "value": S * LB * T / secs, "unit": "steps/s",
+                        "note": "bf16 single-pass, identity comparator"})
+
+        # Legacy two-part path (kernel + XLA comparator epilogue), f32.
+        zf, yf = random_packed_batch(jax.random.key(2), T, LB)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_v2(z, y, *, k):
             def body(i, acc):
                 sc = scales * (1.0 + 1e-6 * i.astype(jnp.float32))
                 return acc + regrets_packed(z, y, sc, alg_flag=0)
             return jax.lax.fori_loop(0, k, body,
                                      jnp.zeros((8, LB), jnp.float32))
 
-        secs = _fetch_time(lambda: run_k(zd, yd, k=K)) / K
+        secs = _fetch_time(lambda: run_v2(zf, yf, k=K)) / K
         records.append({"metric": "pallas_v2_steps_per_s",
                         "value": 8 * LB * T / secs, "unit": "steps/s"})
-        del zd, yd
+        del zf, yf
+
+        # Fused SMART: whole algorithm (both tracks + switch + comparator)
+        # in one O(T d) streaming pass (reference hot path is O(T^2 d)).
+        th = jnp.full((S, LB), math.sqrt(2.0 * T), jnp.float32)
+        et = jnp.full((S, LB), math.sqrt(2.0), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_smart(z, y, th, et, *, k):
+            def body(i, acc):
+                r, _ = smart_regrets_packed(
+                    z, y, th, et * (1.0 + 1e-6 * i.astype(jnp.float32)),
+                    lanes_per_program=128)
+                return acc + r
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((S, LB), jnp.float32))
+
+        secs = _fetch_time(lambda: run_smart(zd, yd, th, et, k=K)) / K
+        records.append({"metric": "pallas_smart_steps_per_s",
+                        "value": S * LB * T / secs, "unit": "steps/s",
+                        "note": "fused single-pass SMART kernel"})
 
         # Generation-fused mode: sequences born in VMEM from the on-core
-        # PRNG, zero HBM data traffic.
-        from online_convex_optimization_tpu.ops.pallas_game import (
-            synthetic_regrets)
-
+        # PRNG, zero HBM data traffic, single pass.
         @functools.partial(jax.jit, static_argnames=("k",))
         def run_syn(sc, *, k):
             def body(i, acc):
@@ -98,18 +146,21 @@ def main():
         records.append({"metric": "pallas_synthetic_steps_per_s",
                         "value": 8 * LB * T / secs, "unit": "steps/s",
                         "note": "in-kernel PRNG data generation"})
+        del zd, yd
 
         # 64-point eta sweep as a kernel grid dimension (BASELINE config 2).
         from online_convex_optimization_tpu.ops.pallas_game import (
             eta_sweep_packed)
         LBs = 2048
-        zs, ys = random_packed_batch(jax.random.key(1), T, LBs)
+        zs, ys = random_packed_batch(jax.random.key(1), T, LBs,
+                                     dtype=jnp.bfloat16)
+        Ss = zs.shape[2]
         grid64 = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
         secs = _fetch_time(lambda: eta_sweep_packed(zs, ys, grid64))
         records.append({"metric": "pallas_eta_sweep64_seqsteps_per_s",
-                        "value": 64 * 8 * LBs * T / secs,
+                        "value": 64 * Ss * LBs * T / secs,
                         "unit": "seq*steps/s",
-                        "note": "sweep as kernel grid dimension"})
+                        "note": "sweep as kernel grid dimension, bf16"})
         del zs, ys
 
     # --- xla scan / smart / sweep / exact (any backend) ---
@@ -131,7 +182,7 @@ def main():
         lambda: simulate_smart_batch(zd, yd, th, et).regret)
     records.append({"metric": "smart_steps_per_s", "value": B * T / secs,
                     "unit": "steps/s",
-                    "note": "includes O(T^2 d) prefix matmul"})
+                    "note": "scan path, O(T d) identity phase B"})
 
     Bs = 32 if small else 512
     grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))

@@ -23,15 +23,27 @@ prefix comparator loss from scratch every pre-switch round — O(T² d) of
 dataflow in three phases, each batched over B sequences:
 
   Phase A  one O(T d) ``lax.scan`` for the (switch-independent) FTL track,
-           emitting the post-update action trajectory ``S`` (T, d) and the
-           per-round FTL losses.
-  Phase B  all T prefix losses at once: ``Q = S @ Z^T`` as a blocked batched
-           matmul (MXU/VPU) with a lower-triangular prefix mask, then the
-           switch round is ``tau = argmin{t : cumsum(ftl_loss)_t - L_t >=
-           theta_thresh}``.  Same O(T² d) flop count as the reference, but
-           it is one dense matmul instead of T dependent scalar loops.
+           emitting the per-round FTL losses AND the prefix comparator
+           losses ``L_t`` via the hinge identity (below).
+  Phase B  the switch round is ``tau = argmin{t : cumsum(ftl_loss)_t - L_t
+           >= theta_thresh}`` — pure elementwise math on Phase A outputs.
   Phase C  one O(T d) scan for the FTRL track, gated elementwise on
            ``t > tau`` — no control flow, fully vmappable.
+
+The prefix-loss identity: the framework's data contract (reference
+sequence_generation.py:64-66) clips every row to the unit ball and labels
+are ±1 (0 for padding), and every action lives in the unit L2 ball, so
+``|<s, z_i>| <= 1`` by Cauchy-Schwarz and the normalized hinge satisfies
+``|q - y| = 1 - q*y`` EXACTLY (reals).  Hence
+
+    L_t = 0.5 * sum_{i<=t} (1 - <s_t, z_i> y_i)
+        = 0.5 * (cnt_t - <s_t, w_t>),   w_t = sum_{i<=t} y_i z_i,
+
+with ``w_t`` an O(d) running statistic carried in the Phase-A scan: the
+reference's O(T² d) hot loop (algorithms.py:109-112) collapses to O(T d)
+with NO O(T²) intermediate (the earlier blocked-matmul phase B and its
+multi-GB transient are gone).  Padding rows (z = 0, y = 0) are inert in
+``w``, ``cnt``, and every loss term.
 
 The decomposition is exact (not an approximation): Phase A is independent of
 the switch by construction, and the first crossing of the threshold is
@@ -67,56 +79,34 @@ class SmartRunResult:
 
 
 def _ftl_track(z_tm, y_tm, v_tm, B, d, dtype):
-    """Phase A: scan the always-on FTL track (fast_algorithms.py:140-146).
+    """Phase A: scan the always-on FTL track (fast_algorithms.py:140-146),
+    carrying the hinge-identity statistics (w, cnt).
 
-    Returns (theta_final, S, ftl_losses) with S the (T, B, d) post-update
-    action trajectory and ftl_losses the (T, B) per-round losses.
+    Returns (theta_final, L, ftl_losses): L the (T, B) prefix comparator
+    losses of the post-update action (== the reference's per-round prefix
+    recompute, fast_algorithms.py:79-85 via 157-158, by the identity in the
+    module docstring) and ftl_losses the (T, B) per-round losses.
     """
 
-    def step(theta, inp):
+    def step(carry, inp):
+        theta, w, cnt = carry
         z_t, y_t, v = inp
         x_pre = ftl_action(theta)
         pred = jnp.sum(z_t * x_pre, axis=-1)
         g = hinge_subgradient(pred, y_t)
         theta = theta + (v * g)[:, None] * z_t
         loss = v * normalized_hinge(pred, y_t)
+        w = w + (v * y_t)[:, None] * z_t          # running sum of y_i z_i
+        cnt = cnt + v                             # valid-round count
         s_post = ftl_action(theta)
-        return theta, (s_post, loss)
+        L_t = 0.5 * (cnt - jnp.sum(s_post * w, axis=-1))
+        return (theta, w, cnt), (L_t, loss)
 
-    theta0 = jnp.zeros((B, d), dtype=dtype)
-    theta, (S, losses) = jax.lax.scan(step, theta0, (z_tm, y_tm, v_tm))
-    return theta, S, losses
-
-
-def _prefix_losses(S_tm, z, y, valid, block_size):
-    """Phase B core: L[b, t] = 0.5 * sum_{i<=t} |<s_t, z_i> - y_i| over valid i.
-
-    Equals the reference's per-round prefix recompute
-    (fast_algorithms.py:79-85 via 157-158) for every t simultaneously,
-    evaluated as a blocked batched matmul.
-    """
-    T, B, d = S_tm.shape
-    dtype = z.dtype
-    TB = min(block_size, T)
-    nb = -(-T // TB)
-    T_pad = nb * TB
-    S_pad = jnp.pad(S_tm, ((0, T_pad - T), (0, 0), (0, 0)))
-    S_blocks = S_pad.reshape(nb, TB, B, d)
-    base = jnp.arange(nb) * TB
-
-    def block(_, inp):
-        S_blk, t0 = inp  # (TB, B, d), scalar block offset
-        # Q[k, b, i] = <s_{t0+k}, z_i>
-        Q = jnp.einsum("kbd,bid->kbi", S_blk, z, preferred_element_type=dtype)
-        t_idx = t0 + jnp.arange(TB)
-        mask = (jnp.arange(T)[None, :] <= t_idx[:, None]).astype(dtype)  # (TB, T)
-        mask = mask[:, None, :] * valid[None, :, :]  # (TB, B, T)
-        L_blk = jnp.sum(normalized_hinge(Q, y[None, :, :]) * mask, axis=-1)
-        return None, L_blk
-
-    _, L_blocks = jax.lax.scan(block, None, (S_blocks, base))
-    L = L_blocks.reshape(T_pad, B)[:T]  # (T, B)
-    return L
+    carry0 = (jnp.zeros((B, d), dtype=dtype), jnp.zeros((B, d), dtype=dtype),
+              jnp.zeros((B,), dtype=dtype))
+    (theta, _, _), (L, losses) = jax.lax.scan(step, carry0,
+                                              (z_tm, y_tm, v_tm))
+    return theta, L, losses
 
 
 def _ftrl_track(z_tm, y_tm, v_tm, tau, eta0, B, d, dtype):
@@ -159,8 +149,11 @@ def simulate_smart_batch(
     """Batched single-switch SMART over ``(B, T, d)`` padded sequences.
 
     ``theta_thresh`` / ``eta0`` broadcast to ``(B,)`` so threshold and
-    step-size grids ride the same compiled program.
+    step-size grids ride the same compiled program.  ``block_size`` is
+    retained for API compatibility but unused: the hinge-identity Phase B
+    (module docstring) removed the blocked O(T²) prefix matmul entirely.
     """
+    del block_size  # obsolete: no O(T^2) intermediate to block anymore
     B, T, d = z.shape
     dtype = z.dtype
     theta_thresh = jnp.broadcast_to(jnp.asarray(theta_thresh, dtype=dtype), (B,))
@@ -175,11 +168,10 @@ def simulate_smart_batch(
     y_tm = jnp.swapaxes(y, 0, 1)  # (T, B)
     v_tm = jnp.swapaxes(valid, 0, 1)
 
-    # Phase A — always-on FTL track.
-    theta_ftl, S_tm, ftl_losses_tm = _ftl_track(z_tm, y_tm, v_tm, B, d, dtype)
+    # Phase A — always-on FTL track, emitting identity-based prefix losses.
+    theta_ftl, L_tm, ftl_losses_tm = _ftl_track(z_tm, y_tm, v_tm, B, d, dtype)
 
-    # Phase B — all prefix losses at once, then the switch round.
-    L_tm = _prefix_losses(S_tm, z, y, valid, block_size)  # (T, B)
+    # Phase B — the switch round from the Phase-A statistics.
     F_tm = jnp.cumsum(ftl_losses_tm, axis=0)  # running ftl_loss
     cond = (F_tm - L_tm >= theta_thresh[None, :]) & (v_tm > 0)
     t_grid = jnp.arange(T)[:, None]

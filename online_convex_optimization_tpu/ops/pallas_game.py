@@ -453,9 +453,19 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
 
 
 def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
-                   theta_acc, cum_acc, xc_acc, *, ct: int, d: int,
+                   theta_acc, w_acc, sc_acc, *, ct: int, d: int,
                    nchunks: int, alg_flag: int, per_lane: bool, unroll: int):
-    """End-to-end regret kernel: play phase + in-kernel comparator replay.
+    """End-to-end regret kernel: game + comparator in ONE streaming pass.
+
+    The comparator (final FTL action scored over the sequence,
+    fast_algorithms.py:113-115) needs no replay pass: by the hinge identity
+    (ops/pallas_smart.py module docstring; requires ||z_t|| <= 1 and
+    y in {-1, 0, +1}, both guaranteed by the data builders),
+
+        comp_loss = 0.5 * (cnt - <x_c, w>),  w = sum y_t z_t, cnt = sum y^2,
+
+    so carrying (w, cnt) — 12 extra ops/step — replaces the second stream
+    over (z, y) entirely: half the HBM traffic, one pipeline pass.
 
     Issue-rate-optimized step (the play loop is VPU-issue-bound, ~1 native
     op/cycle measured):
@@ -473,67 +483,72 @@ def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
     per_lane=True swaps the SMEM eta for an (S, lanes) eta tile input
     (mixed-eta scenario batches at full speed); scaleh/s2 then hold
     -isqrt(t)/2 and 1/(4*max(1,t)) with eta folded in-kernel (+2 ops).
+    sc_acc (2, S, lanes) packs [cum, cnt].
     """
-    j_step = pl.program_id(1)
-    chunk = j_step % nchunks
-    replay = j_step >= nchunks
+    chunk = pl.program_id(1)
 
-    @pl.when(j_step == 0)
+    @pl.when(chunk == 0)
     def _init():
         theta_acc[:] = jnp.zeros_like(theta_acc)
-        cum_acc[:] = jnp.zeros_like(cum_acc)
+        w_acc[:] = jnp.zeros_like(w_acc)
+        sc_acc[:] = jnp.zeros_like(sc_acc)
 
     if per_lane:
         eta = eta_ref[:]
         eta2 = eta * eta
 
-    @pl.when(jnp.logical_not(replay))
-    def _play():
-        def one(k, theta2, cum):
-            z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
-            y_t = y_ref[k].astype(jnp.float32)
-            dotz2 = z_t[0] * theta2[0]
-            nth2 = theta2[0] * theta2[0]
-            for j in range(1, d):
-                dotz2 = dotz2 + z_t[j] * theta2[j]
-                nth2 = nth2 + theta2[j] * theta2[j]
-            t_idx = chunk * ct + k
-            if alg_flag == 0:
-                if per_lane:
-                    s2 = eta2 * s2_ref[t_idx]
-                    scaleh = eta * scaleh_ref[t_idx]
-                else:
-                    s2 = s2_ref[t_idx]
-                    scaleh = scaleh_ref[t_idx]
-                clip = jax.lax.rsqrt(jnp.maximum(s2 * nth2, 1.0))
-                diff = (scaleh * clip) * dotz2 - y_t
+    def one(k, state):
+        theta2, w, cum, cnt = state
+        z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
+        y_t = y_ref[k].astype(jnp.float32)
+        dotz2 = z_t[0] * theta2[0]
+        nth2 = theta2[0] * theta2[0]
+        for j in range(1, d):
+            dotz2 = dotz2 + z_t[j] * theta2[j]
+            nth2 = nth2 + theta2[j] * theta2[j]
+        t_idx = chunk * ct + k
+        if alg_flag == 0:
+            if per_lane:
+                s2 = eta2 * s2_ref[t_idx]
+                scaleh = eta * scaleh_ref[t_idx]
             else:
-                eff = _ftl_eff(nth2)
-                diff = eff * dotz2 - y_t
-            s = jnp.sign(diff)
-            cum = cum + diff * s          # == |q - y| (un-halved)
-            theta2 = [theta2[j] + s * z_t[j] for j in range(d)]
-            return theta2, cum
+                s2 = s2_ref[t_idx]
+                scaleh = scaleh_ref[t_idx]
+            clip = jax.lax.rsqrt(jnp.maximum(s2 * nth2, 1.0))
+            diff = (scaleh * clip) * dotz2 - y_t
+        else:
+            eff = _ftl_eff(nth2)
+            diff = eff * dotz2 - y_t
+        s = jnp.sign(diff)
+        cum = cum + diff * s          # == |q - y| (un-halved)
+        theta2 = [theta2[j] + s * z_t[j] for j in range(d)]
+        w = [w[j] + y_t * z_t[j] for j in range(d)]
+        cnt = cnt + y_t * y_t
+        return theta2, w, cum, cnt
 
-        _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
+    def body(i, state):
+        for u in range(unroll):
+            state = one(i * unroll + u, state)
+        return state
 
-    @pl.when(replay)
-    def _replay():
-        @pl.when(j_step == nchunks)
-        def _comparator_action():
-            _comparator_from(theta_acc, xc_acc, d)  # normalize: 2x cancels
+    state0 = ([theta_acc[j] for j in range(d)], [w_acc[j] for j in range(d)],
+              sc_acc[0], sc_acc[1])
+    theta2, w, cum, cnt = jax.lax.fori_loop(0, ct // unroll, body, state0)
+    for j in range(d):
+        theta_acc[j] = theta2[j]
+        w_acc[j] = w[j]
+    sc_acc[0], sc_acc[1] = cum, cnt
 
-        comp = _replay_chunk(
-            ct, lambda k, j: z_ref[k, j].astype(jnp.float32),
-            lambda k: y_ref[k].astype(jnp.float32), xc_acc, d,
-            jnp.zeros_like(cum_acc[:]))
-        # _replay_chunk accumulates 0.5*|q - y| (already halved); cum is
-        # un-halved, so fold both into the final write.
-        cum_acc[:] = cum_acc[:] - 2.0 * comp
-
-    @pl.when(j_step == 2 * nchunks - 1)
+    @pl.when(chunk == nchunks - 1)
     def _finalize():
-        out_ref[:] = 0.5 * cum_acc[:]
+        nth = theta_acc[0] * theta_acc[0]
+        dotw = theta_acc[0] * w_acc[0]
+        for j in range(1, d):
+            nth = nth + theta_acc[j] * theta_acc[j]
+            dotw = dotw + theta_acc[j] * w_acc[j]
+        effC = _ftl_eff(nth)          # normalization: the 2x scale cancels
+        comp2 = sc_acc[1] - effC * dotw
+        out_ref[:] = 0.5 * (sc_acc[0] - comp2)
 
 
 @functools.partial(jax.jit,
@@ -543,9 +558,10 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
                   chunk_t: int = 256, unroll: int = 4,
                   lanes_per_program: int = 4 * LANES,
                   interpret: bool = False):
-    """Fully fused regret evaluation: game + comparator replay in ONE
-    kernel, never touching HBM between phases — the headline throughput
-    path (see _regret_kernel for the op-level design).
+    """Fully fused regret evaluation: game + identity-based comparator in
+    ONE single-pass kernel — the headline throughput path (see
+    _regret_kernel for the op-level design).  Requires the framework data
+    contract: ||z_t|| <= 1 per row, y in {-1, 0 (padding), +1}.
 
     Args:
       z_pack: (T, d, S, B) f32/bf16; y_pack: (T, S, B).
@@ -581,18 +597,18 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
                                alg_flag=alg_flag, per_lane=per_lane, unroll=u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # scaleh, s2
-        grid=(nb, 2 * nchunks),
+        grid=(nb, nchunks),
         in_specs=eta_specs + [
             pl.BlockSpec((ct, d, S, lanes),
-                         lambda i, j, s1, s2: (j % nchunks, 0, 0, i)),
+                         lambda i, j, s1, s2: (j, 0, 0, i)),
             pl.BlockSpec((ct, S, lanes),
-                         lambda i, j, s1, s2: (j % nchunks, 0, i)),
+                         lambda i, j, s1, s2: (j, 0, i)),
         ],
         out_specs=pl.BlockSpec((S, lanes), lambda i, j, s1, s2: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((d, S, lanes), jnp.float32),   # theta2
-            pltpu.VMEM((S, lanes), jnp.float32),      # cum (un-halved)
-            pltpu.VMEM((d, S, lanes), jnp.float32),   # x_c
+            pltpu.VMEM((d, S, lanes), jnp.float32),   # w = sum y z
+            pltpu.VMEM((2, S, lanes), jnp.float32),   # [cum, cnt]
         ],
     )
     out = pl.pallas_call(
@@ -606,27 +622,25 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
     return out
 
 
-def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, cum_acc,
-                      comp_acc, xc_acc, z_buf, y_buf, *, ct: int, d: int,
+def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
+                      cum_acc, z_buf, y_buf, *, ct: int, d: int,
                       nchunks: int, alg_flag: int, unroll: int):
     """Self-generating game: z, y are drawn from the on-core PRNG chunk by
     chunk (Rademacher rows scaled 1/sqrt(d) — exact unit-norm rows, so no
-    clipping branch), played forward in phase 0 and regenerated bit-for-bit
-    (same per-chunk seeds) for the comparator replay in phase 1.  Zero HBM
-    traffic: the sequences never exist outside VMEM.
+    clipping branch), played forward in ONE pass.  Zero HBM data traffic,
+    and no regeneration pass: the comparator is scored via the hinge
+    identity from the carried w = sum y_t z_t (labels are exactly ±1 here,
+    so cnt == T statically; see ops/pallas_smart.py for the identity).
     """
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    chunk = j % nchunks
-    replay_phase = j >= nchunks
+    chunk = pl.program_id(1)
 
-    @pl.when(j == 0)
+    @pl.when(chunk == 0)
     def _init():
         theta_acc[:] = jnp.zeros_like(theta_acc)
+        w_acc[:] = jnp.zeros_like(w_acc)
         cum_acc[:] = jnp.zeros_like(cum_acc)
-        comp_acc[:] = jnp.zeros_like(comp_acc)
 
-    # Same seed for chunk k in both phases => identical regenerated data.
     pltpu.prng_seed(seed_ref[0] + i * nchunks + chunk)
     inv_sqrt_d = 1.0 / float(np.sqrt(d))
     zb = pltpu.prng_random_bits(z_buf.shape)
@@ -634,32 +648,41 @@ def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, cum_acc,
     yb = pltpu.prng_random_bits(y_buf.shape)
     y_buf[:] = jnp.where((yb & 1) == 1, 1.0, -1.0)
 
-    @pl.when(jnp.logical_not(replay_phase))
-    def _play():
-        def one(k, theta, cum):
-            z_t = [z_buf[k, jj] for jj in range(d)]
-            if alg_flag == 0:
-                eff_fn = functools.partial(_ftrl_eff,
-                                           scale_ref[chunk * ct + k])
-            else:
-                eff_fn = _ftl_eff
-            return _play_step(z_t, y_buf[k], theta, cum, eff_fn)
+    def one(k, state):
+        theta, w, cum = state
+        z_t = [z_buf[k, jj] for jj in range(d)]
+        y_t = y_buf[k]
+        if alg_flag == 0:
+            eff_fn = functools.partial(_ftrl_eff, scale_ref[chunk * ct + k])
+        else:
+            eff_fn = _ftl_eff
+        theta, cum = _play_step(z_t, y_t, theta, cum, eff_fn)
+        w = [w[jj] + y_t * z_t[jj] for jj in range(d)]
+        return theta, w, cum
 
-        _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
+    def body(b, state):
+        for u in range(unroll):
+            state = one(b * unroll + u, state)
+        return state
 
-    @pl.when(replay_phase)
-    def _replay():
-        @pl.when(j == nchunks)
-        def _comparator_action():
-            _comparator_from(theta_acc, xc_acc, d)
+    state0 = ([theta_acc[j] for j in range(d)],
+              [w_acc[j] for j in range(d)], cum_acc[:])
+    theta, w, cum = jax.lax.fori_loop(0, ct // unroll, body, state0)
+    for j in range(d):
+        theta_acc[j] = theta[j]
+        w_acc[j] = w[j]
+    cum_acc[:] = cum
 
-        comp_acc[:] = _replay_chunk(ct, lambda k, jj: z_buf[k, jj],
-                                    lambda k: y_buf[k], xc_acc, d,
-                                    comp_acc[:])
-
-    @pl.when(j == 2 * nchunks - 1)
+    @pl.when(chunk == nchunks - 1)
     def _finalize():
-        out_ref[:] = cum_acc[:] - comp_acc[:]
+        nth = theta_acc[0] * theta_acc[0]
+        dotw = theta_acc[0] * w_acc[0]
+        for j in range(1, d):
+            nth = nth + theta_acc[j] * theta_acc[j]
+            dotw = dotw + theta_acc[j] * w_acc[j]
+        effC = _ftl_eff(nth)
+        comp = 0.5 * (float(nchunks * ct) - effC * dotw)
+        out_ref[:] = cum_acc[:] - comp
 
 
 @functools.partial(jax.jit,
@@ -685,14 +708,13 @@ def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
     seed_arr = jnp.asarray([seed], jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # scales, seed
-        grid=(nb, 2 * nchunks),
+        grid=(nb, nchunks),
         in_specs=[],
         out_specs=pl.BlockSpec((SUBLANES, lanes), lambda i, j, s1, s2: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),   # theta
+            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),   # w = sum y z
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),      # cum
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),      # comp
-            pltpu.VMEM((d, SUBLANES, lanes), jnp.float32),   # x_c
             pltpu.VMEM((ct, d, SUBLANES, lanes), jnp.float32),  # z chunk
             pltpu.VMEM((ct, SUBLANES, lanes), jnp.float32),     # y chunk
         ],

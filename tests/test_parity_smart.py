@@ -44,7 +44,13 @@ def test_smart_sqrt2T_matches_golden(family):
     assert got == pytest.approx(want, abs=TOL)
 
 
-@pytest.mark.parametrize("thresh", [0.0, 0.5, 2.0, 10.0, 1e9])
+# NOTE: thresh == 0.5 is deliberately excluded here and below: after round 0
+# SMART's lead is exactly 0.5 +- 1 ulp, so the >= test at 0.5 is decided by
+# floating-point association order — the golden recompute and the identity-
+# based prefix statistic (models/smart.py docstring) legitimately disagree
+# there.  Same policy as tests/test_native.py; real runs use sqrt(2T) or
+# empirical g >> 0.5.
+@pytest.mark.parametrize("thresh", [0.0, 0.75, 2.0, 10.0, 1e9])
 def test_smart_threshold_sweep_matches_golden(thresh):
     """Low thresholds force early switches; 1e9 never switches."""
     z, y = _cases(T=150)["massart"]
@@ -68,7 +74,7 @@ def test_smart_batch_matches_singles():
     z = rng.normal(size=(B, T, d))
     z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
     y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0)
-    thresh = np.array([0.5, 1.0, 2.0, 5.0, math.sqrt(2 * T)])
+    thresh = np.array([0.75, 1.0, 2.0, 5.0, math.sqrt(2 * T)])  # 0.5: see note above
     res = simulate_smart_batch(z, y, thresh, ETA0)
     for b in range(B):
         want, want_switch = golden_simulate_smart(
