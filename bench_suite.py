@@ -193,7 +193,7 @@ def main():
     Tp = 128 if small else 512
     Bp = 4 if small else 32
     solve = jax.jit(jax.vmap(
-        lambda zz, yy: _admm_all_prefixes(zz, yy, norm="l2", iters=600)))
+        lambda zz, yy: _admm_all_prefixes(zz, yy, norm="l2", iters=600)[0]))
     secs = _fetch_time(lambda: solve(zd[:Bp, :Tp], yd[:Bp, :Tp]))
     records.append({"metric": "exact_prefix_solves_per_s",
                     "value": Bp * Tp / secs, "unit": "prefix solves/s",

@@ -138,19 +138,32 @@ def evaluate_stream_exact(
     dtype=np.float64,
     stream_name: str = "",
     progress: bool = True,
+    polish: bool = True,
+    fail_tol: float = 1e-3,
 ) -> Stats:
     """Exact-FTL comparison mode (exact_ftl_driver.py:120-206): per
-    scenario, solve all prefixes once, then score FTRL (same exact
-    comparator) and exact FTL from the shared trajectory."""
+    scenario, solve all prefixes once (batched device ADMM + host
+    active-set polish to interior-point accuracy), then score FTRL (same
+    exact comparator) and exact FTL from the shared trajectory.
+
+    Failure containment (SURVEY §5): replicates whose ADMM residual
+    exceeds ``fail_tol`` become NaN sentinels and are dropped from the
+    aggregation (logged), instead of killing the whole sweep the way the
+    reference's raise would (exact_ftl.py:125-126).
+    """
+    import logging
+
     import jax
     import jax.numpy as jnp
 
     from online_convex_optimization_tpu.models.exact_ftl import _admm_all_prefixes
+    from online_convex_optimization_tpu.models.polish import polish_prefix_actions
     from online_convex_optimization_tpu.ops.hinge import normalized_hinge
 
     T_grid = [int(t) for t in T_grid]
     labels = ("FTRL", "FTL (exact)")
     by_T = {k: np.empty((runs, len(T_grid), replicates)) for k in labels}
+    n_dropped = 0
 
     prefix_solve = jax.jit(jax.vmap(
         lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm, iters=iters)),
@@ -170,24 +183,39 @@ def evaluate_stream_exact(
         for ti, T in enumerate(T_grid):
             z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
             zj, yj = jnp.asarray(z), jnp.asarray(y)
-            X = prefix_solve(zj, yj)                       # (reps, T, d)
+            X, res = prefix_solve(zj, yj)            # (reps, T, d), (reps, T)
+            X = np.array(X, np.float64)              # writable host copy
+            bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate
+            n_dropped += int(bad.sum())
+            X[bad] = np.nan
+            if polish:
+                for b in np.flatnonzero(~bad):
+                    acts = np.concatenate([np.zeros((1, X.shape[2]))
+                                           , X[b]])
+                    X[b] = polish_prefix_actions(z[b], y[b], acts, norm)[1:]
+            Xj = jnp.asarray(X)
             # exact-FTL replay: action for round t is the prefix-t solution
             # shifted by one (prefix 0 action = 0).
             X_play = jnp.concatenate(
-                [jnp.zeros((X.shape[0], 1, X.shape[2]), X.dtype),
-                 X[:, :-1]], axis=1)
+                [jnp.zeros((Xj.shape[0], 1, Xj.shape[2]), Xj.dtype),
+                 Xj[:, :-1]], axis=1)
             q = jnp.sum(zj * X_play, axis=-1)
             cum_exact = jnp.sum(normalized_hinge(q, yj), axis=-1)
-            q_c = jnp.einsum("btd,bd->bt", zj, X[:, -1])
+            q_c = jnp.einsum("btd,bd->bt", zj, Xj[:, -1])
             comp = jnp.sum(normalized_hinge(q_c, yj), axis=-1)
             by_T["FTL (exact)"][run, ti] = np.asarray(cum_exact - comp)
             # FTRL with the shared exact comparator.
             lin = simulate_linear_batch(zj, yj, 0, eta0)
             by_T["FTRL"][run, ti] = np.asarray(lin.cum_loss) - np.asarray(comp)
 
+    if n_dropped:
+        logging.getLogger("oco").warning(
+            "evaluate_stream_exact[%s]: dropped %d diverged replicates",
+            stream_name, n_dropped)
+
     stats: Stats = {}
     for k in labels:
-        run_means = by_T[k].mean(axis=2)
+        run_means = np.nanmean(by_T[k], axis=2)      # sentinel-aware
         means, cis = [], []
         for ti in range(len(T_grid)):
             mu, ci = mean_ci(run_means[:, ti])

@@ -24,6 +24,7 @@ from online_convex_optimization_tpu.data.sequences import (
     sample_g_instance,
 )
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+from online_convex_optimization_tpu.utils.debug import drop_nonfinite_stats
 
 def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
              chunk: int) -> float:
@@ -120,12 +121,22 @@ def estimate_g_exact(
         for start in range(0, runs, chunk):
             zc = jnp.asarray(z[start:start + chunk])
             yc = jnp.asarray(y[start:start + chunk])
-            x_c = solve(zc, yc)                                # (n, d)
+            x_c, res = solve(zc, yc)                           # (n, d), (n,)
+            # Failure containment (SURVEY §5): a diverged solve becomes a
+            # NaN sentinel dropped from the max, never an exception inside
+            # the sweep; drop_nonfinite_stats reports how many were lost.
+            x_c = jnp.where((res <= 1e-3)[:, None], x_c, jnp.nan)
             comp = np.asarray(jnp.sum(
                 normalized_hinge(jnp.einsum("ntd,nd->nt", zc, x_c), yc),
                 axis=-1))
-            regs = cum[start:start + chunk] - comp
-            max_regret = max(max_regret, float(np.max(regs)))
+            regs = jnp.asarray(cum[start:start + chunk] - comp)
+            n_ok, mx, _ = drop_nonfinite_stats(regs)
+            if int(n_ok) < regs.shape[0]:
+                import logging
+                logging.getLogger("oco").warning(
+                    "estimate_g_exact T=%d: dropped %d/%d diverged solves",
+                    T, regs.shape[0] - int(n_ok), regs.shape[0])
+            max_regret = max(max_regret, float(mx))
         g[T] = max_regret
         if cache_path:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

@@ -27,9 +27,13 @@ The d x d cumulative Gram factorization is exactly the "running sufficient
 statistics" recast called for by BASELINE.json: no prefix ever re-reads
 history — the Gram cumsum carries it.
 
-Accuracy: ADMM with over-relaxation reaches ~1e-6 on these tiny (d<=8)
-problems in a few hundred iterations; tests/test_exact_ftl.py cross-checks
-against scipy (HiGHS LP duals for l1/linf, KKT residuals for l2).
+Accuracy: ADMM with over-relaxation identifies the active set at ~1e-5;
+the host-side active-set polish (models/polish.py) then solves the exact
+optimal-face system, reaching ~1e-9..1e-12 objective accuracy — matching
+the reference's interior-point solves (exact_ftl.py:119-128).  Every ADMM
+entry point reports convergence residuals; hard failures raise (reference
+parity, exact_ftl.py:125-126) or yield NaN sentinels in batched use
+(utils/debug.drop_nonfinite_stats-compatible).
 """
 
 from __future__ import annotations
@@ -44,6 +48,10 @@ import numpy as np
 
 from online_convex_optimization_tpu.models.base import RunResult
 from online_convex_optimization_tpu.models.linear import simulate_linear
+from online_convex_optimization_tpu.models.polish import (
+    polish_prefix_actions,
+    polish_solution,
+)
 from online_convex_optimization_tpu.ops.actions import (
     project_l1_ball,
     project_l2_ball,
@@ -121,8 +129,56 @@ def _admm_all_prefixes(
     zeros_d = jnp.zeros((T, d), dtype=dtype)
     state = (zeros_d, zeros_T, zeros_T, zeros_d, zeros_d)
     X, S, U, W, V = jax.lax.fori_loop(0, iters, body, state)
+    # Convergence telemetry per prefix: primal residual (masked split
+    # consensus) and ball-copy consensus, both inf-norms.
+    R = mask * (X @ z.T - y[None, :])
+    pri = jnp.max(jnp.abs(R - S), axis=1)
+    cons = jnp.max(jnp.abs(X - W), axis=1)
+    res = jnp.maximum(pri, cons)                           # (T,)
     # Return the feasible copy (inside the ball by construction).
-    return W
+    return W, res
+
+
+@partial(jax.jit, static_argnames=("norm", "iters"))
+def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
+                      rho: float = 1.0, alpha: float = 1.7):
+    """Warm-startable single solve over the masked prefix ``m`` (0/1,
+    (T_max,)) — the device twin of the native runtime's iters_first /
+    iters_warm split (native/oco_native.cpp) and of the reference's
+    warm-started repeated solves (exact_ftl.py:121-123, 140-149).
+
+    ``state`` = (x (d,), s (T_max,), u (T_max,), w (d,), v (d,)) carried
+    across appends; one compile serves every prefix length because the
+    shapes are T_max-padded and the prefix enters only through ``m``.
+    Returns (state, residual) with residual the max of the masked primal
+    and consensus inf-norms.
+    """
+    T_max, d = z.shape
+    dtype = z.dtype
+    project = _PROJECT[norm]
+    zm = m[:, None] * z
+    A = zm.T @ z + jnp.eye(d, dtype=dtype)
+    chol = jnp.linalg.cholesky(A)
+    kappa = 0.5 / rho
+
+    def body(_, st):
+        x, s, u, w, v = st
+        rhs = zm.T @ (y + s - u) + (w - v)
+        x = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        r = m * (z @ x - y)
+        r_hat = alpha * r + (1.0 - alpha) * s
+        s = _soft_threshold(r_hat + u, kappa) * m
+        u = (u + r_hat - s) * m
+        x_hat = alpha * x + (1.0 - alpha) * w
+        w = project((x_hat + v)[None, :])[0]
+        v = v + x_hat - w
+        return (x, s, u, w, v)
+
+    state = jax.lax.fori_loop(0, iters, body, state)
+    x, s, u, w, v = state
+    r = m * (z @ x - y)
+    res = jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
+    return state, res
 
 
 @partial(jax.jit, static_argnames=("norm", "iters"))
@@ -154,7 +210,9 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
              jnp.zeros((T,), dtype), jnp.zeros((d,), dtype),
              jnp.zeros((d,), dtype))
     x, s, u, w, v = jax.lax.fori_loop(0, iters, body, state)
-    return w
+    r = z @ x - y
+    res = jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
+    return w, res
 
 
 @dataclasses.dataclass
@@ -165,8 +223,18 @@ class ExactFTL:
 
     The reference's incremental surface (``reset_buffers`` / ``append_row``
     / ``solve_prefix`` / ``solve_prefix_from_full``, exact_ftl.py:130-193)
-    is provided for drop-in compatibility; online appenders should prefer
-    ``prefix_actions`` which solves every prefix at once.
+    is provided for drop-in compatibility, with ``append_row`` warm-started
+    from the previous prefix's ADMM state (``warm_iters`` refinement
+    iterations, mirroring the reference's warm_start=True re-solves and the
+    native runtime's iters_first/iters_warm split); batch appenders should
+    still prefer ``prefix_actions`` which solves every prefix at once.
+
+    Accuracy/failure contract: solutions are active-set-polished to
+    ~1e-9 objective accuracy (``polish=True``; models/polish.py); ADMM
+    residuals above ``fail_tol`` raise RuntimeError like the reference's
+    failed-solve path (exact_ftl.py:125-126) — or become NaN sentinels
+    with ``on_fail='sentinel'`` for vmapped/batched use.  ``last_info``
+    holds the residual telemetry of the most recent solve.
     """
 
     d: int
@@ -175,28 +243,75 @@ class ExactFTL:
     iters: int = 600
     rho: float = 1.0
     alpha: float = 1.7
+    warm_iters: int = 80
+    polish: bool = True
+    fail_tol: float = 1e-3
+    on_fail: str = "raise"  # or "sentinel"
 
     def __post_init__(self):
         self._z_buf = np.zeros((self.T_max, self.d))
         self._y_buf = np.zeros(self.T_max)
         self._length = 0
+        self._state = None  # warm-start ADMM state for append_row
+        self.last_info: dict = {}
 
     def reset_buffers(self) -> None:
         """Clear cached rows for a new sequence (exact_ftl.py:130-138)."""
         self._z_buf[:] = 0.0
         self._y_buf[:] = 0.0
         self._length = 0
+        self._state = None
+
+    def _zero_state(self):
+        return (jnp.zeros((self.d,)), jnp.zeros((self.T_max,)),
+                jnp.zeros((self.T_max,)), jnp.zeros((self.d,)),
+                jnp.zeros((self.d,)))
+
+    def _handle_failure(self, res: float, where: str):
+        self.last_info["converged"] = res <= self.fail_tol
+        if res > self.fail_tol:
+            if self.on_fail == "raise":
+                raise RuntimeError(
+                    f"exact-FTL ADMM failed to converge in {where}: "
+                    f"residual {res:.3e} > fail_tol {self.fail_tol:.1e}")
+            return False
+        return True
 
     def append_row(self, z_row: np.ndarray, y_val: float) -> np.ndarray:
         """Append one example and return the new prefix minimizer
-        (exact_ftl.py:140-149)."""
+        (exact_ftl.py:140-149), warm-started from the previous prefix."""
         if self._length >= self.T_max:
             raise ValueError("sequence longer than T_max")
         self._z_buf[self._length] = z_row
         self._y_buf[self._length] = y_val
         self._length += 1
-        return self.solve_full(self._z_buf[:self._length],
-                               self._y_buf[:self._length])
+        if self._state is None:
+            self._state = self._zero_state()
+        m = np.zeros(self.T_max)
+        m[:self._length] = 1.0
+        iters = self.iters if self._length == 1 else self.warm_iters
+        state, res = _admm_masked_warm(
+            jnp.asarray(self._z_buf), jnp.asarray(self._y_buf),
+            jnp.asarray(m), self._state, norm=self.norm, iters=iters,
+            rho=self.rho, alpha=self.alpha)
+        res_f = float(res)
+        if res_f > self.fail_tol and iters < self.iters:
+            # Escalate a hard prefix to a full-length refinement once.
+            state, res = _admm_masked_warm(
+                jnp.asarray(self._z_buf), jnp.asarray(self._y_buf),
+                jnp.asarray(m), state, norm=self.norm, iters=self.iters,
+                rho=self.rho, alpha=self.alpha)
+            res_f = float(res)
+        self._state = state
+        self.last_info = {"residual": res_f, "iters": iters,
+                          "length": self._length}
+        x = np.asarray(state[3], np.float64)
+        if not self._handle_failure(res_f, "append_row"):
+            return np.full(self.d, np.nan)
+        if self.polish:
+            x = polish_solution(self._z_buf[:self._length],
+                                self._y_buf[:self._length], x, self.norm)
+        return x
 
     def solve_prefix_from_full(self, z_full, y_full, length: int) -> np.ndarray:
         """Minimizer over the first ``length`` rows (exact_ftl.py:171-181)."""
@@ -223,7 +338,7 @@ class ExactFTL:
 
     def prefix_actions(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Exact FTL actions for every prefix 0..T; row 0 is the zero vector
-        (exact_ftl.py:294-297)."""
+        (exact_ftl.py:294-297).  Active-set-polished; residual-checked."""
         z = jnp.asarray(z)
         y = jnp.asarray(y)
         T, d = z.shape
@@ -231,15 +346,35 @@ class ExactFTL:
             raise ValueError(f"expected d={self.d}, got {d}")
         if T > self.T_max:
             raise ValueError("sequence longer than T_max")
-        X = _admm_all_prefixes(z, y, norm=self.norm, iters=self.iters,
-                               rho=self.rho, alpha=self.alpha)
-        return np.concatenate([np.zeros((1, d), X.dtype), np.asarray(X)])
+        X, res = _admm_all_prefixes(z, y, norm=self.norm, iters=self.iters,
+                                    rho=self.rho, alpha=self.alpha)
+        res_np = np.asarray(res)
+        worst = float(res_np.max()) if res_np.size else 0.0
+        self.last_info = {"residual": worst,
+                          "n_unconverged": int((res_np > self.fail_tol).sum())}
+        X_np = np.array(X, np.float64)  # writable host copy
+        ok = self._handle_failure(worst, "prefix_actions")
+        if not ok:  # sentinel mode: NaN out only the unconverged prefixes
+            X_np[res_np > self.fail_tol] = np.nan
+        actions = np.concatenate([np.zeros((1, d)), X_np])
+        if self.polish:
+            good = np.flatnonzero(~np.isnan(X_np).any(axis=1)) + 1
+            actions = polish_prefix_actions(np.asarray(z), np.asarray(y),
+                                            actions, self.norm, lengths=good)
+        return actions
 
     def solve_full(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Minimizer over the whole sequence (the exact comparator)."""
-        return np.asarray(_admm_full(jnp.asarray(z), jnp.asarray(y),
-                                     norm=self.norm, iters=self.iters,
-                                     rho=self.rho, alpha=self.alpha))
+        x, res = _admm_full(jnp.asarray(z), jnp.asarray(y), norm=self.norm,
+                            iters=self.iters, rho=self.rho, alpha=self.alpha)
+        res_f = float(res)
+        self.last_info = {"residual": res_f}
+        x = np.asarray(x, np.float64)
+        if not self._handle_failure(res_f, "solve_full"):
+            return np.full(self.d, np.nan)
+        if self.polish:
+            x = polish_solution(np.asarray(z), np.asarray(y), x, self.norm)
+        return x
 
 
 # ------------------------------------------------------------------

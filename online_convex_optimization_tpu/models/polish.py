@@ -1,0 +1,183 @@
+"""Active-set polish: interior-point-grade accuracy from ADMM solutions.
+
+The device ADMM (models/exact_ftl.py) plateaus around 1e-5 objective
+accuracy on the nonsmooth exact-FTL program
+
+    minimize_{||x||_p <= 1}   f(x) = 0.5 * sum_i |<z_i, x> - y_i|,
+
+while the reference's CVXPY/ECOS solves are ~1e-8-exact
+(/root/reference/exact_ftl.py:119-128).  At 1e-5 the ADMM iterate has
+already IDENTIFIED the combinatorial structure of the optimum (which
+residuals are zero, which ball faces are active, the signs of the rest) —
+the remaining error is pure drift along the optimal face.  Given that
+structure, the exact optimum solves a TINY (<= d+1 square) linear system:
+
+  - zero-residual ("interpolated") rows i in A:   <z_i, x> = y_i
+  - nonzero residuals keep their signs, so their contribution to f is the
+    LINEAR function <g, x> with g = 0.5 * sum_{i not in A} sign(r_i) z_i
+  - the ball constraint contributes, per norm:
+      l2    x = x_par + N t with N = null(Z_A); minimizing <g, x> over
+            ||x||<=1 on the affine set has the closed form
+            t = -sqrt(1 - ||x_par||^2) * N^T g / ||N^T g||
+      linf  coordinates at +-1 are pinned; the free ones solve the
+            square interpolation system
+      l1    off-support coordinates are 0; the active face adds the row
+            sum_j sign(x_j) x_j = 1 when the ball is tight
+
+Every candidate is verified: exact feasibility (with an exact rescale/clip
+of <= 1e-9 slack) and the true objective f are evaluated in f64, and the
+polish is kept only when it does not lose to the ADMM iterate — so the
+polish can only improve the solution, never corrupt it.  Several
+active-set tolerances are tried because the identification threshold is
+instance-dependent.
+
+All host-side f64 NumPy: the systems are at most (d+1) x (d+1) with d<=8,
+a few microseconds per prefix — negligible next to the device solve.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+_ACTIVE_TOLS = (1e-3, 1e-4, 1e-5)
+
+
+def objective(z: np.ndarray, y: np.ndarray, x: np.ndarray) -> float:
+    return 0.5 * float(np.sum(np.abs(z @ x - y)))
+
+
+def _null_space(a: np.ndarray, d: int) -> np.ndarray:
+    """Orthonormal basis of null(a) for an (m, d) matrix (m may be 0)."""
+    if a.size == 0:
+        return np.eye(d)
+    _, sv, vt = np.linalg.svd(a, full_matrices=True)
+    rank = int(np.sum(sv > max(a.shape) * np.finfo(np.float64).eps *
+                      (sv[0] if sv.size else 1.0)))
+    return vt[rank:].T
+
+
+def _candidate_l2(z, y, active, g, d):
+    za, ya = z[active], y[active]
+    if za.size:
+        x_par, *_ = np.linalg.lstsq(za, ya, rcond=None)
+        if np.max(np.abs(za @ x_par - ya), initial=0.0) > 1e-9:
+            return None  # inconsistent interpolation set
+    else:
+        x_par = np.zeros(d)
+    room = 1.0 - float(x_par @ x_par)
+    if room < -1e-12:
+        return None
+    n_basis = _null_space(za, d)
+    if n_basis.size:
+        gn = n_basis.T @ g
+        ngn = float(np.linalg.norm(gn))
+        if ngn > 1e-12 and room > 0.0:
+            x = x_par - n_basis @ (gn / ngn) * np.sqrt(max(room, 0.0))
+        else:
+            x = x_par
+    else:
+        x = x_par
+    nx = float(np.linalg.norm(x))
+    if nx > 1.0 + 1e-9:
+        return None
+    return x / max(nx, 1.0)
+
+
+def _candidate_linf(z, y, active, x0, d):
+    za, ya = z[active], y[active]
+    pinned = np.abs(x0) > 1.0 - 1e-6
+    free = ~pinned
+    b = np.sign(x0[pinned])
+    rhs = ya - (za[:, pinned] @ b if za.size else 0.0)
+    nf = int(np.sum(free))
+    x = np.zeros(d)
+    x[pinned] = b
+    if nf:
+        m = za[:, free]
+        if m.shape[0] < nf:
+            return None  # under-determined face; keep ADMM
+        xf, *_ = np.linalg.lstsq(m, rhs, rcond=None)
+        if m.size and np.max(np.abs(m @ xf - rhs), initial=0.0) > 1e-9:
+            return None
+        x[free] = xf
+    elif za.size and np.max(np.abs(za[:, pinned] @ b - ya),
+                            initial=0.0) > 1e-9:
+        return None
+    if np.max(np.abs(x), initial=0.0) > 1.0 + 1e-9:
+        return None
+    return np.clip(x, -1.0, 1.0)
+
+
+def _candidate_l1(z, y, active, x0, d):
+    za, ya = z[active], y[active]
+    support = np.abs(x0) > 1e-6
+    ns = int(np.sum(support))
+    if ns == 0:
+        return np.zeros(d) if not za.size else None
+    s = np.sign(x0[support])
+    ball_tight = float(np.sum(np.abs(x0))) > 1.0 - 1e-6
+    m = za[:, support]
+    rhs = ya
+    if ball_tight:
+        m = np.vstack([m, s[None, :]]) if m.size else s[None, :].copy()
+        rhs = np.concatenate([rhs, [1.0]])
+    if m.shape[0] < ns:
+        return None
+    xs, *_ = np.linalg.lstsq(m, rhs, rcond=None)
+    if np.max(np.abs(m @ xs - rhs), initial=0.0) > 1e-9:
+        return None
+    x = np.zeros(d)
+    x[support] = xs
+    l1 = float(np.sum(np.abs(x)))
+    if l1 > 1.0 + 1e-9:
+        return None
+    if l1 > 1.0:
+        x /= l1
+    return x
+
+
+def polish_solution(z: np.ndarray, y: np.ndarray, x_admm: np.ndarray,
+                    norm: str = "l2") -> np.ndarray:
+    """Best feasible candidate among the ADMM iterate and its active-set
+    polishes (objective compared exactly in f64; polish never loses)."""
+    z = np.asarray(z, np.float64)
+    y = np.asarray(y, np.float64)
+    x_admm = np.asarray(x_admm, np.float64)
+    d = z.shape[1]
+    r = z @ x_admm - y
+    best_x, best_f = x_admm, objective(z, y, x_admm)
+    for tol in _ACTIVE_TOLS:
+        active = np.abs(r) <= tol
+        sigma = np.sign(r[~active])
+        g = 0.5 * (z[~active].T @ sigma) if sigma.size else np.zeros(d)
+        if norm == "l2":
+            cand = _candidate_l2(z, y, active, g, d)
+        elif norm == "linf":
+            cand = _candidate_linf(z, y, active, x_admm, d)
+        elif norm == "l1":
+            cand = _candidate_l1(z, y, active, x_admm, d)
+        else:
+            raise ValueError(norm)
+        if cand is None:
+            continue
+        f = objective(z, y, cand)
+        if f < best_f:
+            best_x, best_f = cand, f
+    return best_x
+
+
+def polish_prefix_actions(z: np.ndarray, y: np.ndarray, actions: np.ndarray,
+                          norm: str = "l2",
+                          lengths: Optional[np.ndarray] = None) -> np.ndarray:
+    """Polish a (T+1, d) prefix-action trajectory row by row (row 0 is the
+    zero action and stays).  O(T) host solves of size <= (d+1)^2."""
+    z = np.asarray(z, np.float64)
+    y = np.asarray(y, np.float64)
+    out = np.array(actions, np.float64, copy=True)
+    T = z.shape[0]
+    ps = range(1, T + 1) if lengths is None else lengths
+    for p in ps:
+        out[p] = polish_solution(z[:p], y[:p], out[p], norm)
+    return out

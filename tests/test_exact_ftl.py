@@ -60,11 +60,13 @@ def _lp_solve(z, y, norm):
 
 @pytest.mark.parametrize("norm", ["linf", "l1"])
 def test_full_solve_matches_highs_lp(norm):
+    """Active-set-polished solves match the interior-point-grade HiGHS
+    objective to 1e-8 (the reference's ECOS-level accuracy bar)."""
     z, y = _instance()
     solver = ExactFTL(d=5, T_max=60, norm=norm, iters=8000, rho=3.0)
     x = solver.solve_full(z, y)
     x_lp = _lp_solve(z, y, norm)
-    assert _obj(z, y, x) <= _obj(z, y, x_lp) + 1e-4
+    assert _obj(z, y, x) <= _obj(z, y, x_lp) + 1e-8
 
 
 def test_full_solve_matches_slsqp_l2():
@@ -80,8 +82,21 @@ def test_full_solve_matches_slsqp_l2():
                      method="SLSQP", options={"maxiter": 500, "ftol": 1e-12})
         if best is None or r.fun < best.fun:
             best = r
-    assert _obj(z, y, x) == pytest.approx(best.fun, abs=1e-6)
+    # One-sided at 1e-8: the polished solve may legitimately BEAT SLSQP.
+    assert _obj(z, y, x) <= best.fun + 1e-8
     assert np.linalg.norm(x) <= 1.0 + 1e-9
+
+
+@pytest.mark.parametrize("norm", ["linf", "l1"])
+def test_all_prefixes_match_highs_lp(norm):
+    """Every 5th prefix of the batched+polished trajectory vs HiGHS, 1e-8."""
+    z, y = _instance(T=40, seed=8)
+    solver = ExactFTL(d=5, T_max=40, norm=norm, iters=6000, rho=3.0)
+    actions = solver.prefix_actions(z, y)
+    for p in range(5, 41, 5):
+        obj_p = _obj(z[:p], y[:p], actions[p])
+        obj_lp = _obj(z[:p], y[:p], _lp_solve(z[:p], y[:p], norm))
+        assert obj_p <= obj_lp + 1e-8, p
 
 
 def test_prefix_actions_consistent_with_full():
@@ -91,15 +106,16 @@ def test_prefix_actions_consistent_with_full():
     assert actions.shape == (41, 5)
     np.testing.assert_allclose(actions[0], 0.0)
     x_full = solver.solve_full(z, y)
-    assert _obj(z, y, actions[-1]) == pytest.approx(_obj(z, y, x_full), abs=1e-5)
+    assert _obj(z, y, actions[-1]) == pytest.approx(_obj(z, y, x_full),
+                                                    abs=1e-8)
     # Each prefix action is feasible and (weakly) beats the full-solution
     # restricted to that prefix.
     for p in (1, 10, 25, 40):
         xp = actions[p]
-        assert np.linalg.norm(xp) <= 1.0 + 1e-6
+        assert np.linalg.norm(xp) <= 1.0 + 1e-9
         obj_p = 0.5 * np.sum(np.abs(z[:p] @ xp - y[:p]))
         obj_full = 0.5 * np.sum(np.abs(z[:p] @ x_full - y[:p]))
-        assert obj_p <= obj_full + 1e-4
+        assert obj_p <= obj_full + 1e-8
 
 
 def test_replay_and_regret_shapes():
@@ -125,7 +141,8 @@ def test_simulate_front_end_dispatch():
 
 
 def test_incremental_surface_matches_batch():
-    """append_row / solve_prefix agree with the all-prefix batch solve."""
+    """Warm-started append_row / solve_prefix agree with the all-prefix
+    batch solve to polished (1e-8) accuracy."""
     z, y = _instance(T=20, seed=7)
     solver = ExactFTL(d=5, T_max=20, norm="l2", iters=2000)
     actions = solver.prefix_actions(z, y)
@@ -134,12 +151,46 @@ def test_incremental_surface_matches_batch():
         x_inc = solver.append_row(z[t], float(y[t]))
         obj_inc = 0.5 * np.sum(np.abs(z[:t + 1] @ x_inc - y[:t + 1]))
         obj_bat = 0.5 * np.sum(np.abs(z[:t + 1] @ actions[t + 1] - y[:t + 1]))
-        assert obj_inc == pytest.approx(obj_bat, abs=1e-5)
+        assert obj_inc == pytest.approx(obj_bat, abs=1e-8)
     x_pref = solver.solve_prefix(z[:10], y[:10])
     x_pref2 = solver.solve_prefix_from_full(z, y, 10)
     np.testing.assert_allclose(x_pref, x_pref2, atol=1e-9)
     with pytest.raises(ValueError):
         solver.solve_prefix(z[:5, :3], y[:5])
+
+
+def test_append_row_warm_start_is_cheap_and_accurate():
+    """The warm path (warm_iters << iters) stays 1e-8-accurate over a full
+    append loop — the reference's solve-many design (exact_ftl.py:140-149)."""
+    z, y = _instance(T=30, seed=9)
+    solver = ExactFTL(d=5, T_max=30, norm="l2", iters=2000, warm_iters=80)
+    batch_actions = ExactFTL(d=5, T_max=30, norm="l2",
+                             iters=3000).prefix_actions(z, y)
+    for t in range(30):
+        x_inc = solver.append_row(z[t], float(y[t]))
+        assert solver.last_info["iters"] == (2000 if t == 0 else 80)
+        obj_inc = _obj(z[:t + 1], y[:t + 1], x_inc)
+        obj_bat = _obj(z[:t + 1], y[:t + 1], batch_actions[t + 1])
+        assert obj_inc <= obj_bat + 1e-8, t
+
+
+def test_unconverged_solve_raises_or_sentinels():
+    """Residual telemetry: a deliberately starved solve is flagged, not
+    silently wrong (VERDICT round-1 'ADMM runs open-loop')."""
+    z, y = _instance(T=40, seed=10)
+    starved = ExactFTL(d=5, T_max=40, norm="l2", iters=2, fail_tol=1e-6)
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        starved.solve_full(z, y)
+    sentinel = ExactFTL(d=5, T_max=40, norm="l2", iters=2, fail_tol=1e-6,
+                        on_fail="sentinel")
+    x = sentinel.solve_full(z, y)
+    assert np.isnan(x).all()
+    assert not sentinel.last_info["converged"]
+    # A healthy solve reports convergence.
+    ok = ExactFTL(d=5, T_max=40, norm="l2", iters=3000)
+    ok.solve_full(z, y)
+    assert ok.last_info["converged"]
+    assert ok.last_info["residual"] < 1e-3
 
 
 def test_bad_shapes_raise():

@@ -96,6 +96,24 @@ def test_driver_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "algorithm_comparison.png")
 
 
+def test_exact_driver_end_to_end(tmp_path):
+    """--exact pipeline (exact_ftl_driver.py:268-293 equivalent) produces
+    the reference's artifact set at small shapes."""
+    from online_convex_optimization_tpu.experiments.driver import run_experiment
+    cfg = ExperimentConfig(t_min=40, t_max=80, t_step=40, g_runs=4,
+                           runs_override=2, replicates_override=2,
+                           exact=True, exact_iters=1200,
+                           out_dir=str(tmp_path), dpi=60)
+    results = run_experiment(cfg)
+    for title, stats in results["stats"].items():
+        assert set(stats) == {"FTRL", "FTL (exact)"}
+        for rec in stats.values():
+            assert np.isfinite(np.asarray(rec["mean"], np.float64)).all()
+    assert os.path.exists(tmp_path / "results_exact.json")
+    assert os.path.exists(tmp_path / "empirical_g_T_exact.png")
+    assert os.path.exists(tmp_path / "algorithm_comparison_exact.png")
+
+
 def test_config_cli_round_trip():
     cfg = config_from_args(["--t-max", "300", "--g-runs", "7", "--exact",
                             "--cases", "Label flips"])
