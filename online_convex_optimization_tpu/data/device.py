@@ -48,7 +48,7 @@ def separable_stream_batch(key, B: int, T: int, d: int = 5,
     u = jax.random.normal(ku, (B, d), jnp.float32)
     u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-30)
     z = _clip_rows(jax.random.normal(kz, (B, T, d), jnp.float32))
-    q = jnp.einsum("btd,bd->bt", z, u)
+    q = jnp.einsum("btd,bd->bt", z, u, precision=jax.lax.Precision.HIGHEST)
     y = jnp.where(q >= 0.0, 1.0, -1.0)
     if noise_p > 0.0:
         flips = jax.random.bernoulli(kf, noise_p, (B, T))

@@ -37,6 +37,7 @@ class ExperimentConfig:
     dpi: int = 600                # matches the reference (driver.py:158)
     checkpoint: bool = True
     batch_chunk: int = 4096       # max sequences per device batch
+    check: bool = False           # checkify NaN/inf guards in compute paths
 
     @property
     def T_grid(self) -> Tuple[int, ...]:
@@ -48,6 +49,7 @@ class ExperimentConfig:
             "runs": self.g_runs, "eta0": self.eta0,
             "precision": self.precision, "exact": self.exact,
             "norm": self.norm if self.exact else None,
+            "iters": self.exact_iters if self.exact else None,
         }, sort_keys=True)
         return hashlib.sha1(payload.encode()).hexdigest()[:12]
 
@@ -79,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dpi", type=int, default=d.dpi)
     p.add_argument("--no-checkpoint", action="store_true")
     p.add_argument("--batch-chunk", type=int, default=d.batch_chunk)
+    p.add_argument("--check", action="store_true",
+                   help="checkify NaN/inf guards inside the compute paths")
     return p
 
 
@@ -92,4 +96,5 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         precision=args.precision, exact=args.exact,
         exact_iters=args.exact_iters, norm=args.norm,
         out_dir=args.out_dir, dpi=args.dpi,
-        checkpoint=not args.no_checkpoint, batch_chunk=args.batch_chunk)
+        checkpoint=not args.no_checkpoint, batch_chunk=args.batch_chunk,
+        check=args.check)

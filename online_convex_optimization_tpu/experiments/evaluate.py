@@ -44,6 +44,41 @@ def _pad_T(z: np.ndarray, y: np.ndarray, T_max: int):
     return pz, py
 
 
+def evaluate_stream_golden(
+    stream_builder: Callable,
+    T_grid,
+    g_emp: Mapping[int, float],
+    *,
+    base_seed: int = 0,
+    eta0: float = math.sqrt(2.0),
+) -> Stats:
+    """Deterministic-family evaluation via the f64 golden oracle.
+
+    The two adversarial families are 1 run x 1 replicate (microseconds of
+    work) but ULP-DEGENERATE: z = e1 every round makes q == y exact ties
+    reachable, so an f32 device evaluation can flip a tie subgradient and
+    genuinely change the trajectory (observed: 0.26 regret units on
+    "Switching leaders" FTRL).  The reference's figures are f64; this path
+    reproduces them bit-for-bit at trivial cost.
+    """
+    from online_convex_optimization_tpu.testing.golden import (
+        golden_simulate_alg,
+        golden_simulate_smart,
+    )
+
+    sampler = stream_builder(run_seed=run_seed_schedule(base_seed, 0))
+    curves = {k: [] for k in ALGO_KEYS}
+    for T in (int(t) for t in T_grid):
+        z, y = (np.asarray(a, np.float64) for a in sampler(T, 0)[:2])
+        curves["FTRL"].append(golden_simulate_alg(z, y, 0, eta0))
+        curves["FTL"].append(golden_simulate_alg(z, y, 1, eta0))
+        curves["SMART"].append(
+            golden_simulate_smart(z, y, math.sqrt(2.0 * T), eta0))
+        curves["EMP"].append(golden_simulate_smart(z, y, g_emp[T], eta0))
+    return {k: (np.asarray(v), np.zeros(len(v)))
+            for k, v in curves.items()}
+
+
 def evaluate_stream_with_stats(
     stream_builder: Callable,
     T_grid,
@@ -59,6 +94,11 @@ def evaluate_stream_with_stats(
     progress: bool = True,
 ) -> Stats:
     """Mean regret and 95% CI per algorithm per horizon for one case."""
+    if runs == 1 and replicates == 1 and np.dtype(dtype) != np.float64:
+        # Deterministic family on an f32 backend: route to the f64 golden
+        # oracle (see evaluate_stream_golden — tie-degenerate sequences).
+        return evaluate_stream_golden(stream_builder, T_grid, g_emp,
+                                      base_seed=base_seed, eta0=eta0)
     T_grid = [int(t) for t in T_grid]
     T_max = max(T_grid)
 
@@ -110,15 +150,25 @@ def evaluate_stream_with_stats(
         regrets["SMART"][s:e] = sm_reg[:n]
         regrets["EMP"][s:e] = sm_reg[n:]
 
+    # ---- failure containment (SURVEY §5): a non-finite scenario result
+    # becomes a dropped sentinel, never a poisoned mean ----
+    n_bad = sum(int((~np.isfinite(regrets[k])).sum()) for k in ALGO_KEYS)
+    if n_bad:
+        import logging
+        logging.getLogger("oco").warning(
+            "evaluate[%s]: dropped %d non-finite scenario results",
+            stream_name, n_bad)
+
     # ---- reference aggregation: reps -> run mean -> mean +- CI ----
     stats: Stats = {}
     nT = len(T_grid)
     for k in ALGO_KEYS:
         r = regrets[k].reshape(runs, nT, replicates)
-        run_means = r.mean(axis=2)            # (runs, nT)
+        run_means = np.nanmean(np.where(np.isfinite(r), r, np.nan), axis=2)
         means, cis = [], []
         for ti in range(nT):
-            mu, ci = mean_ci(run_means[:, ti])
+            vals = run_means[:, ti]
+            mu, ci = mean_ci(vals[np.isfinite(vals)])
             means.append(mu)
             cis.append(ci)
         stats[k] = (np.asarray(means), np.asarray(cis))
@@ -161,10 +211,17 @@ def evaluate_stream_exact(
     from online_convex_optimization_tpu.ops.hinge import normalized_hinge
 
     T_grid = [int(t) for t in T_grid]
+    T_max = max(T_grid)
     labels = ("FTRL", "FTL (exact)")
     by_T = {k: np.empty((runs, len(T_grid), replicates)) for k in labels}
     n_dropped = 0
 
+    # Every horizon is zero-padded to T_max before the solve: padded rows
+    # (z = 0, y = 0) contribute |<0,x> - 0| = 0 to every prefix objective,
+    # so prefix minimizers for p >= length all equal the length-prefix
+    # minimizer and the ONE compiled (T_max, reps) program serves the whole
+    # horizon grid (10 horizons would otherwise mean 10 multi-minute remote
+    # compiles through the TPU relay).
     prefix_solve = jax.jit(jax.vmap(
         lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm, iters=iters)),
         static_argnums=())
@@ -182,26 +239,33 @@ def evaluate_stream_exact(
         sampler = stream_builder(run_seed=run_seed_schedule(base_seed, run))
         for ti, T in enumerate(T_grid):
             z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
+            z, y = _pad_T(z, y, T_max)
             zj, yj = jnp.asarray(z), jnp.asarray(y)
-            X, res = prefix_solve(zj, yj)            # (reps, T, d), (reps, T)
-            X = np.array(X, np.float64)              # writable host copy
+            X, res = prefix_solve(zj, yj)      # (reps, T_max, d), (reps, T_max)
+            X = np.array(X, np.float64)        # writable host copy
             bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate
             n_dropped += int(bad.sum())
             X[bad] = np.nan
             if polish:
                 for b in np.flatnonzero(~bad):
-                    acts = np.concatenate([np.zeros((1, X.shape[2]))
-                                           , X[b]])
-                    X[b] = polish_prefix_actions(z[b], y[b], acts, norm)[1:]
+                    acts = np.concatenate([np.zeros((1, X.shape[2])), X[b]])
+                    acts = polish_prefix_actions(z[b], y[b], acts, norm,
+                                                 lengths=range(1, T + 1))
+                    X[b] = acts[1:]
+            # Prefixes past the true horizon solve the same (zero-padded)
+            # problem as prefix T — pin them to the polished prefix-T row
+            # so the comparator X[:, -1] is the exact full-sequence action.
+            X[:, T:] = X[:, T - 1][:, None, :]
             Xj = jnp.asarray(X)
             # exact-FTL replay: action for round t is the prefix-t solution
-            # shifted by one (prefix 0 action = 0).
+            # shifted by one (prefix 0 action = 0); padded rounds are inert.
             X_play = jnp.concatenate(
                 [jnp.zeros((Xj.shape[0], 1, Xj.shape[2]), Xj.dtype),
                  Xj[:, :-1]], axis=1)
             q = jnp.sum(zj * X_play, axis=-1)
             cum_exact = jnp.sum(normalized_hinge(q, yj), axis=-1)
-            q_c = jnp.einsum("btd,bd->bt", zj, Xj[:, -1])
+            q_c = jnp.einsum("btd,bd->bt", zj, Xj[:, -1],
+                             precision=jax.lax.Precision.HIGHEST)
             comp = jnp.sum(normalized_hinge(q_c, yj), axis=-1)
             by_T["FTL (exact)"][run, ti] = np.asarray(cum_exact - comp)
             # FTRL with the shared exact comparator.

@@ -24,10 +24,16 @@ from online_convex_optimization_tpu.data.sequences import (
     sample_g_instance,
 )
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
-from online_convex_optimization_tpu.utils.debug import drop_nonfinite_stats
+from online_convex_optimization_tpu.utils.debug import checked, drop_nonfinite_stats
 
 def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
-             chunk: int) -> float:
+             chunk: int, check: bool = False) -> float:
+    # check=True checkify-wraps the simulator so NaN/inf inside the scan
+    # surfaces as a located error instead of silently propagating into the
+    # max reduction (utils.debug.checked; SURVEY §5 sanitizers).
+    sim = (checked(lambda zz, yy: simulate_linear_batch(zz, yy, 0, eta0))
+           if check else (lambda zz, yy: simulate_linear_batch(zz, yy, 0,
+                                                               eta0)))
     max_regret = 0.0
     for start in range(0, runs, chunk):
         n = min(chunk, runs - start)
@@ -36,7 +42,7 @@ def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
         for i in range(n):
             z[i], y[i] = sample_g_instance(base_seed, T, start + i,
                                            dtype=dtype)
-        res = simulate_linear_batch(z, y, 0, eta0)
+        res = sim(z, y)
         max_regret = max(max_regret, float(np.max(np.asarray(res.regret))))
     return max_regret
 
@@ -50,6 +56,7 @@ def estimate_g(
     chunk: int = 4096,
     cache_path: Optional[str] = None,
     progress: bool = True,
+    check: bool = False,
 ) -> Dict[int, float]:
     """g(T) table, resuming from ``cache_path`` when present."""
     g: Dict[int, float] = {}
@@ -67,7 +74,7 @@ def estimate_g(
             pass
 
     for T in iterator:
-        g[T] = _g_for_T(T, runs, base_seed, eta0, dtype, chunk)
+        g[T] = _g_for_T(T, runs, base_seed, eta0, dtype, chunk, check)
         if cache_path:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
             with open(cache_path, "w") as f:
@@ -94,6 +101,7 @@ def estimate_g_exact(
     import jax.numpy as jnp
 
     from online_convex_optimization_tpu.models.exact_ftl import _admm_full
+    from online_convex_optimization_tpu.models.polish import polish_solution
     from online_convex_optimization_tpu.ops.hinge import normalized_hinge
 
     g: Dict[int, float] = {}
@@ -112,12 +120,20 @@ def estimate_g_exact(
 
     solve = jax.jit(jax.vmap(
         lambda zz, yy: _admm_full(zz, yy, norm=norm, iters=iters)))
+    T_max = max(int(t) for t in T_grid)
 
     for T in iterator:
         z, y = sample_g_batch(base_seed, T, runs, dtype=dtype)
+        # Zero-pad to T_max: padded rows are inert in both the FTRL game
+        # and the exact solve, so one compiled shape serves the whole grid.
+        if T < T_max:
+            z = np.concatenate(
+                [z, np.zeros((runs, T_max - T, z.shape[2]), z.dtype)], axis=1)
+            y = np.concatenate(
+                [y, np.zeros((runs, T_max - T), y.dtype)], axis=1)
         cum = np.asarray(simulate_linear_batch(z, y, 0, eta0).cum_loss)
         max_regret = 0.0
-        chunk = 64
+        chunk = 50  # divides the reference's 200-run default: one shape
         for start in range(0, runs, chunk):
             zc = jnp.asarray(z[start:start + chunk])
             yc = jnp.asarray(y[start:start + chunk])
@@ -125,9 +141,16 @@ def estimate_g_exact(
             # Failure containment (SURVEY §5): a diverged solve becomes a
             # NaN sentinel dropped from the max, never an exception inside
             # the sweep; drop_nonfinite_stats reports how many were lost.
-            x_c = jnp.where((res <= 1e-3)[:, None], x_c, jnp.nan)
+            x_np = np.array(x_c, np.float64)
+            ok_mask = np.asarray(res) <= 1e-3
+            x_np[~ok_mask] = np.nan
+            for i in np.flatnonzero(ok_mask):  # active-set polish (host)
+                x_np[i] = polish_solution(z[start + i], y[start + i],
+                                          x_np[i], norm)
+            x_j = jnp.asarray(x_np, zc.dtype)
             comp = np.asarray(jnp.sum(
-                normalized_hinge(jnp.einsum("ntd,nd->nt", zc, x_c), yc),
+                normalized_hinge(jnp.einsum("ntd,nd->nt", zc, x_j,
+                                            precision=jax.lax.Precision.HIGHEST), yc),
                 axis=-1))
             regs = jnp.asarray(cum[start:start + chunk] - comp)
             n_ok, mx, _ = drop_nonfinite_stats(regs)

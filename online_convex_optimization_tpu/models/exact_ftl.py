@@ -44,6 +44,13 @@ from typing import Literal, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# TPU matmul precision: XLA's DEFAULT f32 matmul truncates MXU inputs to
+# bfloat16, which is catastrophic for the parity/exact paths (the ADMM
+# converges to a bf16-matmul fixed point, comparator losses drift by
+# O(sqrt(T)*2^-8)).  Every contraction here pins Precision.HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
+
 import numpy as np
 
 from online_convex_optimization_tpu.models.base import RunResult
@@ -111,9 +118,10 @@ def _admm_all_prefixes(
     def body(_, state):
         X, S, U, W, V = state
         # x-step
-        rhs = jnp.einsum("pt,td->pd", mask * (y[None, :] + S - U), z) + (W - V)
+        rhs = jnp.einsum("pt,td->pd", mask * (y[None, :] + S - U), z,
+                         precision=_HI) + (W - V)
         X = solve_x(rhs)
-        Q = X @ z.T                                        # (T, T): Q[p-1, i] = <x_p, z_i>
+        Q = jnp.matmul(X, z.T, precision=_HI)  # (T, T): Q[p-1, i] = <x_p, z_i>
         R = mask * (Q - y[None, :])                        # masked residuals
         # over-relaxation on the residual consensus
         R_hat = alpha * R + (1.0 - alpha) * S
@@ -131,7 +139,7 @@ def _admm_all_prefixes(
     X, S, U, W, V = jax.lax.fori_loop(0, iters, body, state)
     # Convergence telemetry per prefix: primal residual (masked split
     # consensus) and ball-copy consensus, both inf-norms.
-    R = mask * (X @ z.T - y[None, :])
+    R = mask * (jnp.matmul(X, z.T, precision=_HI) - y[None, :])
     pri = jnp.max(jnp.abs(R - S), axis=1)
     cons = jnp.max(jnp.abs(X - W), axis=1)
     res = jnp.maximum(pri, cons)                           # (T,)
@@ -157,15 +165,15 @@ def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
     dtype = z.dtype
     project = _PROJECT[norm]
     zm = m[:, None] * z
-    A = zm.T @ z + jnp.eye(d, dtype=dtype)
+    A = jnp.matmul(zm.T, z, precision=_HI) + jnp.eye(d, dtype=dtype)
     chol = jnp.linalg.cholesky(A)
     kappa = 0.5 / rho
 
     def body(_, st):
         x, s, u, w, v = st
-        rhs = zm.T @ (y + s - u) + (w - v)
+        rhs = jnp.matmul(zm.T, y + s - u, precision=_HI) + (w - v)
         x = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        r = m * (z @ x - y)
+        r = m * (jnp.matmul(z, x, precision=_HI) - y)
         r_hat = alpha * r + (1.0 - alpha) * s
         s = _soft_threshold(r_hat + u, kappa) * m
         u = (u + r_hat - s) * m
@@ -176,7 +184,7 @@ def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
 
     state = jax.lax.fori_loop(0, iters, body, state)
     x, s, u, w, v = state
-    r = m * (z @ x - y)
+    r = m * (jnp.matmul(z, x, precision=_HI) - y)
     res = jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
     return state, res
 
@@ -189,15 +197,15 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
     T, d = z.shape
     dtype = z.dtype
     project = _PROJECT[norm]
-    A = z.T @ z + jnp.eye(d, dtype=dtype)
+    A = jnp.matmul(z.T, z, precision=_HI) + jnp.eye(d, dtype=dtype)
     chol = jnp.linalg.cholesky(A)
     kappa = 0.5 / rho
 
     def body(_, state):
         x, s, u, w, v = state
-        rhs = z.T @ (y + s - u) + (w - v)
+        rhs = jnp.matmul(z.T, y + s - u, precision=_HI) + (w - v)
         x = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        r = z @ x - y
+        r = jnp.matmul(z, x, precision=_HI) - y
         r_hat = alpha * r + (1.0 - alpha) * s
         s = _soft_threshold(r_hat + u, kappa)
         u = u + r_hat - s
@@ -210,7 +218,7 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
              jnp.zeros((T,), dtype), jnp.zeros((d,), dtype),
              jnp.zeros((d,), dtype))
     x, s, u, w, v = jax.lax.fori_loop(0, iters, body, state)
-    r = z @ x - y
+    r = jnp.matmul(z, x, precision=_HI) - y
     res = jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
     return w, res
 

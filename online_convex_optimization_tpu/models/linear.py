@@ -30,6 +30,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# TPU matmul precision: XLA's DEFAULT f32 matmul truncates MXU inputs to
+# bfloat16, which is catastrophic for the parity/exact paths (the ADMM
+# converges to a bf16-matmul fixed point, comparator losses drift by
+# O(sqrt(T)*2^-8)).  Every contraction here pins Precision.HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
+
+
 from online_convex_optimization_tpu.models.base import RunResult
 from online_convex_optimization_tpu.ops.actions import ftl_action, ftrl_action
 from online_convex_optimization_tpu.ops.hinge import hinge_subgradient, normalized_hinge
@@ -44,7 +51,7 @@ def _masked_comparator_loss(z: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray,
 
     Mirrors fast_algorithms.py:69-76 (full-sequence comparator loss).
     """
-    q = z @ x
+    q = jnp.matmul(z, x, precision=_HI)
     return jnp.sum(normalized_hinge(q, y) * valid)
 
 
@@ -164,7 +171,7 @@ def simulate_linear_batch(
         step, init, (z_tm, y_tm, ts, v_tm), unroll=unroll)
 
     x_comp = ftl_action(theta)
-    q_all = jnp.einsum("btd,bd->bt", z, x_comp)
+    q_all = jnp.einsum("btd,bd->bt", z, x_comp, precision=_HI)
     comp_loss = jnp.sum(normalized_hinge(q_all, y) * valid, axis=-1)
     return RunResult(cum_loss=cum_loss, regret=cum_loss - comp_loss,
                      comp_loss=comp_loss, x_last=x_last)

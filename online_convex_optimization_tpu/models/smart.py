@@ -61,6 +61,13 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+# TPU matmul precision: XLA's DEFAULT f32 matmul truncates MXU inputs to
+# bfloat16, which is catastrophic for the parity/exact paths (the ADMM
+# converges to a bf16-matmul fixed point, comparator losses drift by
+# O(sqrt(T)*2^-8)).  Every contraction here pins Precision.HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
+
+
 from online_convex_optimization_tpu.ops.actions import ftl_action, ftrl_action
 from online_convex_optimization_tpu.ops.hinge import hinge_subgradient, normalized_hinge
 
@@ -186,7 +193,7 @@ def simulate_smart_batch(
 
     # Epilogue — comparator from the final FTL accumulator.
     s_final = ftl_action(theta_ftl)
-    q_all = jnp.einsum("btd,bd->bt", z, s_final)
+    q_all = jnp.einsum("btd,bd->bt", z, s_final, precision=_HI)
     comp_loss = jnp.sum(normalized_hinge(q_all, y) * valid, axis=-1)
 
     never_switched = tau >= T

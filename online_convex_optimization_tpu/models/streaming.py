@@ -20,6 +20,13 @@ from typing import Any, Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# TPU matmul precision: XLA's DEFAULT f32 matmul truncates MXU inputs to
+# bfloat16, which is catastrophic for the parity/exact paths (the ADMM
+# converges to a bf16-matmul fixed point, comparator losses drift by
+# O(sqrt(T)*2^-8)).  Every contraction here pins Precision.HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
+
 import numpy as np
 
 from online_convex_optimization_tpu.models.base import RunResult
@@ -101,7 +108,8 @@ class StreamingGame:
         x_c = self.comparator_action()
         comp = jnp.zeros_like(self.state.cum_loss)
         for z_chunk, y_chunk in replay_feed:
-            q = jnp.einsum("tbd,bd->tb", jnp.asarray(z_chunk), x_c)
+            q = jnp.einsum("tbd,bd->tb", jnp.asarray(z_chunk), x_c,
+                           precision=_HI)
             comp = comp + jnp.sum(normalized_hinge(q, jnp.asarray(y_chunk)),
                                   axis=0)
         cum = self.state.cum_loss

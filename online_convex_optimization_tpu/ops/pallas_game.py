@@ -1,6 +1,7 @@
-"""Pallas game kernel v2: 1024 sequences per tile, feature dim in registers.
+"""Pallas game kernels: (sublane, lane) tiles of sequences, feature dim in
+registers.
 
-Layout rationale (v1 in pallas_step.py puts d on sublanes, wasting 3/8 of
+Layout rationale (a retired v1 design put d on sublanes, wasting 3/8 of
 them at d=5 and paying cross-sublane reductions every step):
 
   - (sublane, lane) = (8, 128) carries **1024 independent sequences**;

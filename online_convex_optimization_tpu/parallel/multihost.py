@@ -25,9 +25,17 @@ import numpy as np
 def run_worker(T: int, per_device_batch: int, *, eta0: float,
                seed: int = 0, coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> dict:
+               process_id: Optional[int] = None,
+               n_hyper: int = 1) -> dict:
     """Run one host's share of a global FTRL regret sweep; returns the
-    globally reduced statistics (identical on every host)."""
+    globally reduced statistics (identical on every host).
+
+    ``n_hyper > 1`` turns the sweep into a 2-axis (data, hyper) program:
+    the global devices form a (n_global/n_hyper, n_hyper) mesh, each hyper
+    column evaluates its own eta (eta0 scaled by a per-column factor), data
+    collectives reduce within each column, and the per-eta results return
+    sharded over the hyper axis — the pod-scale shape of a learning-rate
+    sweep."""
     import jax
 
     if num_processes is not None and num_processes > 1:
@@ -40,45 +48,62 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
                                    process_id=process_id)
 
     import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, PartitionSpec as P
 
     from online_convex_optimization_tpu.data.device import random_game_batch
     from online_convex_optimization_tpu.models.linear import simulate_linear_batch
 
     n_global = len(jax.devices())
     n_local = len(jax.local_devices())
-    mesh = Mesh(np.asarray(jax.devices()).reshape(n_global), ("data",))
+    if n_global % n_hyper:
+        raise ValueError(f"n_hyper={n_hyper} must divide {n_global}")
+    n_data = n_global // n_hyper
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_data, n_hyper),
+                ("data", "hyper"))
+    eta_grid = jnp.asarray(
+        eta0 * np.linspace(1.0, 2.0, n_hyper, dtype=np.float32))
 
     # Per-device scenario shards from independent keys (split globally so
     # every device's stream is distinct and reproducible).
     keys = jax.random.split(jax.random.key(seed), n_global)
+    keys = keys.reshape(n_data, n_hyper)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P("data"), out_specs=P(),
-             check_vma=False)
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("data", "hyper"),
+             out_specs=(P("hyper"), P("hyper")), check_vma=False)
     def sweep(key_shard):
-        z, y = random_game_batch(key_shard[0], per_device_batch, T)
-        res = simulate_linear_batch(z, y, 0, eta0)
+        z, y = random_game_batch(key_shard[0, 0], per_device_batch, T)
+        eta = eta_grid[jax.lax.axis_index("hyper")]
+        res = simulate_linear_batch(z, y, 0, eta)
         r = res.regret
+        # Reduce over the data axis only: one result per eta column.
         g_max = jax.lax.pmax(jnp.max(r), "data")
         stats = jax.lax.psum(
             jnp.stack([jnp.asarray(r.size, r.dtype), jnp.sum(r),
                        jnp.sum(r * r)]), "data")
-        return g_max, stats
+        return g_max[None], stats[None]
 
     g_max, stats = jax.jit(sweep)(keys)
-    g_max = float(np.asarray(g_max))
-    n, s, ss = (float(v) for v in np.asarray(stats))
-    mean = s / n
-    var = max(ss - n * mean * mean, 0.0) / max(n - 1.0, 1.0)
-    return {
+    g_max = np.asarray(g_max)                       # (n_hyper,)
+    stats = np.asarray(stats)                       # (n_hyper, 3)
+    n = stats[:, 0]
+    mean = stats[:, 1] / n
+    var = np.maximum(stats[:, 2] - n * mean * mean, 0.0) / np.maximum(
+        n - 1.0, 1.0)
+    out = {
         "process_id": process_id or 0,
         "n_global_devices": n_global,
         "n_local_devices": n_local,
-        "total_scenarios": int(n),
-        "g_max": g_max,
-        "mean_regret": mean,
-        "sem": float(np.sqrt(var / n)),
+        "mesh": [n_data, n_hyper],
+        "total_scenarios": int(n.sum()),
+        "g_max_by_eta": [float(v) for v in g_max],
+        "mean_by_eta": [float(v) for v in mean],
+        "eta_grid": [float(v) for v in np.asarray(eta_grid)],
+        # Single-axis compatibility fields (global over everything).
+        "g_max": float(g_max.max()),
+        "mean_regret": float((stats[:, 1].sum()) / n.sum()),
+        "sem": float(np.sqrt(var.mean() / n.sum())),
     }
+    return out
 
 
 def main(argv=None):
@@ -90,11 +115,13 @@ def main(argv=None):
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--hyper", type=int, default=1,
+                   help="size of the hyperparameter mesh axis")
     args = p.parse_args(argv)
     out = run_worker(args.t, args.per_device_batch, eta0=args.eta0,
                      seed=args.seed, coordinator=args.coordinator,
                      num_processes=args.num_processes,
-                     process_id=args.process_id)
+                     process_id=args.process_id, n_hyper=args.hyper)
     print(json.dumps(out))
 
 

@@ -98,3 +98,40 @@ def measure_scaling(device_counts: Optional[Sequence[int]] = None, *,
             n_devices=n, steps_per_s=sps, steps_per_s_per_device=per_dev,
             efficiency=per_dev / base_per_dev))
     return points
+
+
+def main(argv=None):
+    """Measure the scaling curve and write it as a JSON artifact
+    (BASELINE.md: steps/s measured across mesh sizes)."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="OCO scaling curve")
+    p.add_argument("--out", default="results/scaling.json")
+    p.add_argument("--b-per-dev", type=int, default=1024)
+    p.add_argument("--t", type=int, default=256)
+    p.add_argument("--reps", type=int, default=4)
+    args = p.parse_args(argv)
+
+    pts = measure_scaling(B_per_dev=args.b_per_dev, T=args.t, reps=args.reps)
+    record = {
+        "backend": jax.default_backend(),
+        "n_devices_available": len(jax.devices()),
+        "virtual_mesh": jax.default_backend() == "cpu",
+        "workload": {"B_per_dev": args.b_per_dev, "T": args.t,
+                     "reps": args.reps, "program": "sharded FTRL sweep"},
+        "points": [vars(pt) for pt in pts],
+    }
+    import os
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    for pt in pts:
+        print(f"n={pt.n_devices:3d}  {pt.steps_per_s:.3e} steps/s  "
+              f"({pt.steps_per_s_per_device:.3e}/dev, "
+              f"eff {pt.efficiency:.2f})")
+    print(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,39 @@ def sharded_smart_regrets(mesh: Mesh, z, y, theta_thresh, eta0, *,
     return run(z, y, theta_thresh, eta0)
 
 
+def sharded_pallas_regrets(mesh: Mesh, z_pack, y_pack, eta, *,
+                           alg_flag: int = 0, interpret: bool = False):
+    """The fused Pallas regret kernel under ``shard_map``: the packed lane
+    axis is sharded across the whole mesh, each device launches the kernel
+    on its local lane block (>= 128 lanes per shard), results stay sharded.
+
+    This is the production pod path — kernels compose with the mesh, not
+    just the scan simulators.  ``eta``: scalar, or (S, B) per-sequence
+    (sharded with the lanes, so hyperparameter grids ride the lane axis).
+    ``interpret=True`` runs the kernel in interpreter mode (CPU meshes).
+    """
+    from online_convex_optimization_tpu.ops.pallas_game import regrets_fused
+
+    S, B = y_pack.shape[1], y_pack.shape[2]
+    n = mesh.size
+    assert B % (128 * n) == 0, (B, n)
+    per_lane = hasattr(eta, "ndim") and getattr(eta, "ndim", 0) == 2
+
+    z_spec = P(None, None, None, _BOTH)
+    y_spec = P(None, None, _BOTH)
+    in_specs = (z_spec, y_spec) + ((P(None, _BOTH),) if per_lane else ())
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=P(None, _BOTH), check_vma=False)
+    def run(z_loc, y_loc, *maybe_eta):
+        eta_loc = maybe_eta[0] if maybe_eta else eta
+        return regrets_fused(z_loc, y_loc, eta_loc, alg_flag=alg_flag,
+                             interpret=interpret)
+
+    args = (z_pack, y_pack) + ((eta,) if per_lane else ())
+    return run(*args)
+
+
 def mean_and_ci(stats, z_value: float = 1.96):
     """mean +- z * SEM from (n, sum, sum_sq) sufficient statistics.
 

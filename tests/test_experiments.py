@@ -122,3 +122,28 @@ def test_config_cli_round_trip():
     assert cfg.cases == ("Label flips",)
     # cache key is sensitive to the knobs that define g(T)
     assert cfg.g_cache_key() != ExperimentConfig().g_cache_key()
+
+
+def test_deterministic_families_route_to_golden_f64():
+    """On an f32 backend the 1x1 deterministic (tie-degenerate) families
+    must be evaluated by the f64 golden oracle, matching it exactly."""
+    import math
+
+    from online_convex_optimization_tpu.data.sequences import CASES
+    from online_convex_optimization_tpu.experiments.evaluate import (
+        evaluate_stream_with_stats,
+    )
+    from online_convex_optimization_tpu.testing.golden import (
+        golden_simulate_alg,
+    )
+
+    T_grid = [50, 100]
+    g_emp = {50: 5.0, 100: 7.0}
+    stats = evaluate_stream_with_stats(
+        CASES["Switching leaders"], T_grid, g_emp,
+        runs=1, replicates=1, dtype=np.float32)
+    sampler = CASES["Switching leaders"](run_seed=2025)
+    for ti, T in enumerate(T_grid):
+        z, y = (np.asarray(a, np.float64) for a in sampler(T, 0)[:2])
+        want = golden_simulate_alg(z, y, 0, math.sqrt(2.0))
+        assert float(stats["FTRL"][0][ti]) == want

@@ -27,7 +27,7 @@ def _free_port():
     return port
 
 
-def _spawn(proc_id, port, n_proc, devs_per_proc):
+def _spawn(proc_id, port, n_proc, devs_per_proc, hyper=1):
     env = {
         **os.environ,
         # Strip the axon sitecustomize (it would claim the TPU and freeze
@@ -41,7 +41,8 @@ def _spawn(proc_id, port, n_proc, devs_per_proc):
          "online_convex_optimization_tpu.parallel.multihost",
          "--t", "128", "--per-device-batch", "64",
          "--coordinator", f"127.0.0.1:{port}",
-         "--num-processes", str(n_proc), "--process-id", str(proc_id)],
+         "--num-processes", str(n_proc), "--process-id", str(proc_id),
+         "--hyper", str(hyper)],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
 
@@ -72,3 +73,33 @@ def test_two_process_sweep_agrees():
     solo = json.loads(stdout.strip().splitlines()[-1])
     assert solo["g_max"] == pytest.approx(a["g_max"], rel=1e-5)
     assert solo["mean_regret"] == pytest.approx(a["mean_regret"], rel=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_two_axis_sweep():
+    """(data, hyper) 2-axis mesh across 2 processes: per-eta statistics
+    reduced over the data axis agree across hosts and with a solo run."""
+    port = _free_port()
+    procs = [_spawn(i, port, 2, 2, hyper=2) for i in range(2)]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=300)
+        assert p.returncode == 0, stderr[-2000:]
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+
+    a, b = outs
+    assert a["mesh"] == b["mesh"] == [2, 2]
+    assert len(a["g_max_by_eta"]) == 2
+    assert a["eta_grid"][1] == pytest.approx(2 * a["eta_grid"][0], rel=1e-6)
+    np.testing.assert_allclose(a["g_max_by_eta"], b["g_max_by_eta"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(a["mean_by_eta"], b["mean_by_eta"], rtol=1e-6)
+
+    solo_proc = _spawn(0, _free_port(), 1, 4, hyper=2)
+    stdout, stderr = solo_proc.communicate(timeout=300)
+    assert solo_proc.returncode == 0, stderr[-2000:]
+    solo = json.loads(stdout.strip().splitlines()[-1])
+    np.testing.assert_allclose(solo["g_max_by_eta"], a["g_max_by_eta"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(solo["mean_by_eta"], a["mean_by_eta"],
+                               rtol=1e-5)

@@ -80,3 +80,39 @@ def test_explicit_device_put_roundtrip():
     want = simulate_linear_batch(z, y, 0, 1.0)
     np.testing.assert_allclose(np.asarray(res.regret),
                                np.asarray(want.regret), atol=1e-12)
+
+
+def test_sharded_pallas_kernel_matches_unsharded():
+    """The fused regret kernel composes with the mesh: lane-axis shards on
+    8 devices reproduce the single-device kernel result exactly."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_per_seq,
+        pack_sequences,
+        regrets_fused,
+        unpack_result,
+    )
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_pallas_regrets,
+    )
+
+    n = len(jax.devices())
+    B, T = 1024 * n, 32
+    z, y = _batch(B, T=T, seed=5)
+    z = z.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    z_pack, y_pack, _ = pack_sequences(z, y)
+    mesh = make_mesh(n // 2, 2)
+
+    got = sharded_pallas_regrets(mesh, z_pack, y_pack, 1.3, interpret=True)
+    want = regrets_fused(z_pack, y_pack, 1.3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # Per-lane eta grid sharded with the lanes.
+    etas = jnp.asarray(np.linspace(0.2, 3.0, B, dtype=np.float32))
+    eta_pack = pack_per_seq(etas, z_pack.shape[2])
+    got_e = sharded_pallas_regrets(mesh, z_pack, y_pack, eta_pack,
+                                   interpret=True)
+    want_e = regrets_fused(z_pack, y_pack, eta_pack, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_result(got_e, B)),
+                               np.asarray(unpack_result(want_e, B)),
+                               atol=1e-5)
