@@ -38,6 +38,7 @@ class ExperimentConfig:
     checkpoint: bool = True
     batch_chunk: int = 4096       # max sequences per device batch
     check: bool = False           # checkify NaN/inf guards in compute paths
+    profile_dir: str = ""         # write a jax.profiler trace of the eval
 
     @property
     def T_grid(self) -> Tuple[int, ...]:
@@ -83,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-chunk", type=int, default=d.batch_chunk)
     p.add_argument("--check", action="store_true",
                    help="checkify NaN/inf guards inside the compute paths")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of the evaluation")
     return p
 
 
@@ -97,4 +100,4 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         exact_iters=args.exact_iters, norm=args.norm,
         out_dir=args.out_dir, dpi=args.dpi,
         checkpoint=not args.no_checkpoint, batch_chunk=args.batch_chunk,
-        check=args.check)
+        check=args.check, profile_dir=args.profile_dir)

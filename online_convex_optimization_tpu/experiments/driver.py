@@ -82,25 +82,31 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
                                            f"empirical_g_T{suffix}.png"),
                      title=g_title, dpi=cfg.dpi)
 
-    # 2) per-case evaluation
+    # 2) per-case evaluation (optionally under a jax.profiler trace)
+    import contextlib
+
+    from online_convex_optimization_tpu.utils.profiling import trace
+    prof = trace(cfg.profile_dir) if cfg.profile_dir else (
+        contextlib.nullcontext())
     titles = cfg.cases or tuple(CASES)
     stats_by_case = {}
     eff_runs, eff_reps = {}, {}
-    for title in titles:
-        builder = CASES[title]
-        runs = cfg.runs_override or RUNS_BY_TITLE.get(title, 1)
-        reps = cfg.replicates_override or REPLICATES_BY_TITLE.get(title, 1)
-        eff_runs[title], eff_reps[title] = runs, reps
-        if cfg.exact:
-            stats_by_case[title] = evaluate_stream_exact(
-                builder, cfg.T_grid, runs=runs, replicates=reps,
-                base_seed=cfg.base_seed, eta0=cfg.eta0, norm=cfg.norm,
-                iters=cfg.exact_iters, dtype=dtype, stream_name=title)
-        else:
-            stats_by_case[title] = evaluate_stream_with_stats(
-                builder, cfg.T_grid, g_emp, runs=runs, replicates=reps,
-                base_seed=cfg.base_seed, eta0=cfg.eta0, dtype=dtype,
-                batch_chunk=cfg.batch_chunk, stream_name=title)
+    with prof:
+        for title in titles:
+            builder = CASES[title]
+            runs = cfg.runs_override or RUNS_BY_TITLE.get(title, 1)
+            reps = cfg.replicates_override or REPLICATES_BY_TITLE.get(title, 1)
+            eff_runs[title], eff_reps[title] = runs, reps
+            if cfg.exact:
+                stats_by_case[title] = evaluate_stream_exact(
+                    builder, cfg.T_grid, runs=runs, replicates=reps,
+                    base_seed=cfg.base_seed, eta0=cfg.eta0, norm=cfg.norm,
+                    iters=cfg.exact_iters, dtype=dtype, stream_name=title)
+            else:
+                stats_by_case[title] = evaluate_stream_with_stats(
+                    builder, cfg.T_grid, g_emp, runs=runs, replicates=reps,
+                    base_seed=cfg.base_seed, eta0=cfg.eta0, dtype=dtype,
+                    batch_chunk=cfg.batch_chunk, stream_name=title)
 
     plot_comparisons(
         cfg.T_grid, stats_by_case,

@@ -23,12 +23,18 @@ them at d=5 and paying cross-sublane reductions every step):
   - zero-padding (z rows AND y entries zero) is loss- and gradient-neutral
     (q = 0, diff = 0), so heterogeneous horizons need no masks.
 
-The comparator replay (final FTL action scored over the sequence,
-fast_algorithms.py:113-115) runs as an XLA epilogue: one fused
-multiply-reduce over the packed z — bandwidth-bound and overlappable,
-not worth a second kernel pass.
+The comparator (final FTL action scored over the sequence,
+fast_algorithms.py:113-115) is evaluated WITHOUT a second pass in the
+fused kernels via the hinge identity (see ops/pallas_smart.py): carrying
+w = sum y_t z_t and cnt = sum y_t^2 makes the comparator loss an O(d) dot
+at finalize.  The legacy ``regrets_packed`` path keeps the XLA einsum
+epilogue for callers that need (cum, theta) separately.
 
-This is the f32 throughput path; parity semantics live in the x64 scan.
+This is the f32/bf16 throughput path; parity semantics live in the x64
+scan.  Data contract for the identity-based kernels: ||z_t||_2 <= 1 per
+row and y in {-1, 0 (padding), +1} — guaranteed by every data builder in
+this framework (the reference clips rows the same way,
+sequence_generation.py:64-66).
 """
 
 from __future__ import annotations
@@ -108,28 +114,6 @@ def _play_chunk(ct, unroll, step_fn, theta_acc, cum_acc, d):
     for j in range(d):
         theta_acc[j] = theta[j]
     cum_acc[:] = cum
-
-
-def _comparator_from(theta_acc, xc_acc, d):
-    """Write the final FTL action into xc_acc from the theta scratch."""
-    nth = theta_acc[0] * theta_acc[0]
-    for j in range(1, d):
-        nth = nth + theta_acc[j] * theta_acc[j]
-    eff = _ftl_eff(nth)
-    for j in range(d):
-        xc_acc[j] = eff * theta_acc[j]
-
-
-def _replay_chunk(ct, read_z, read_y, xc_acc, d, comp0):
-    """Comparator loss of xc over ``ct`` rounds; returns the accumulated sum."""
-
-    def one(k, comp):
-        q = read_z(k, 0) * xc_acc[0]
-        for j in range(1, d):
-            q = q + read_z(k, j) * xc_acc[j]
-        return comp + 0.5 * jnp.abs(q - read_y(k))
-
-    return jax.lax.fori_loop(0, ct, one, comp0)
 
 
 def _choose_tiles(B, T, d, lanes_per_program, chunk_t, unroll, *,
@@ -346,57 +330,72 @@ def play_packed_eta(z_pack, y_pack, eta_pack, *, chunk_t: int = 256,
     return cum, theta
 
 
-def _sweep_kernel(isqrt_ref, eta_ref, z_ref, y_ref, out_ref,
-                  theta_acc, cum_acc, xc_acc, *, ct: int, d: int,
+def _sweep_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
+                  theta_acc, w_acc, sc_acc, *, ct: int, d: int,
                   nchunks: int, unroll: int):
-    """FTRL game + comparator replay for one (lane-batch, eta-setting,
-    time-chunk-phase) grid step.
+    """Single-pass FTRL sweep step for one (lane-batch, eta-setting,
+    time-chunk) grid step.
 
     The hyperparameter grid is a *grid dimension*: each (i, e) pass
-    replays the same z/y blocks (re-streamed from HBM by the pipeline)
-    under a different scalar eta — the (sequence x setting) cross product
-    costs no input duplication.  The last grid axis runs 2*nchunks steps:
-    phase 0 plays the game, phase 1 re-streams the same blocks to score
-    the final-FTL comparator, so regrets finish entirely in-kernel.
-    isqrt (T,) SMEM holds 1/sqrt(max(1,t)); eta (E,) SMEM.
+    re-streams the same z/y blocks under a different scalar eta — the
+    (sequence x setting) cross product costs no input duplication.  The
+    comparator comes from the carried hinge-identity statistics (w, cnt)
+    like _regret_kernel, so there is NO replay phase.  Step math follows
+    _regret_kernel (theta2 accumulator, un-halved losses); scaleh (T,)
+    SMEM holds -isqrt(t)/2, s2 (T,) holds 1/(4*max(1,t)), eta (E,) SMEM.
     """
     e = pl.program_id(1)
-    j_step = pl.program_id(2)
-    chunk = j_step % nchunks
-    replay = j_step >= nchunks
+    chunk = pl.program_id(2)
     eta = eta_ref[e]
+    eta2 = eta * eta
 
-    @pl.when(j_step == 0)
+    @pl.when(chunk == 0)
     def _init():
         theta_acc[:] = jnp.zeros_like(theta_acc)
-        cum_acc[:] = jnp.zeros_like(cum_acc)
+        w_acc[:] = jnp.zeros_like(w_acc)
+        sc_acc[:] = jnp.zeros_like(sc_acc)
 
-    @pl.when(jnp.logical_not(replay))
-    def _play():
-        def one(k, theta, cum):
-            z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
-            scale = -eta * isqrt_ref[chunk * ct + k]
-            return _play_step(z_t, y_ref[k].astype(jnp.float32), theta, cum,
-                              functools.partial(_ftrl_eff, scale))
+    def one(k, state):
+        theta2, w, cum, cnt = state
+        z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
+        y_t = y_ref[k].astype(jnp.float32)
+        dotz2 = z_t[0] * theta2[0]
+        nth2 = theta2[0] * theta2[0]
+        for j in range(1, d):
+            dotz2 = dotz2 + z_t[j] * theta2[j]
+            nth2 = nth2 + theta2[j] * theta2[j]
+        t_idx = chunk * ct + k
+        clip = jax.lax.rsqrt(jnp.maximum((eta2 * s2_ref[t_idx]) * nth2, 1.0))
+        diff = ((eta * scaleh_ref[t_idx]) * clip) * dotz2 - y_t
+        s = jnp.sign(diff)
+        cum = cum + diff * s
+        theta2 = [theta2[j] + s * z_t[j] for j in range(d)]
+        w = [w[j] + y_t * z_t[j] for j in range(d)]
+        cnt = cnt + y_t * y_t
+        return theta2, w, cum, cnt
 
-        _play_chunk(ct, unroll, one, theta_acc, cum_acc, d)
+    def body(i, state):
+        for u in range(unroll):
+            state = one(i * unroll + u, state)
+        return state
 
-    @pl.when(replay)
-    def _replay():
-        @pl.when(j_step == nchunks)
-        def _comparator_action():
-            _comparator_from(theta_acc, xc_acc, d)
+    state0 = ([theta_acc[j] for j in range(d)], [w_acc[j] for j in range(d)],
+              sc_acc[0], sc_acc[1])
+    theta2, w, cum, cnt = jax.lax.fori_loop(0, ct // unroll, body, state0)
+    for j in range(d):
+        theta_acc[j] = theta2[j]
+        w_acc[j] = w[j]
+    sc_acc[0], sc_acc[1] = cum, cnt
 
-        # Accumulate the comparator loss as a negative contribution so the
-        # out block holds cum - comp once the phase completes.
-        comp = _replay_chunk(ct, lambda k, j: z_ref[k, j].astype(jnp.float32),
-                             lambda k: y_ref[k].astype(jnp.float32), xc_acc,
-                             d, jnp.zeros_like(cum_acc[:]))
-        cum_acc[:] = cum_acc[:] - comp
-
-    @pl.when(j_step == 2 * nchunks - 1)
+    @pl.when(chunk == nchunks - 1)
     def _finalize():
-        out_ref[0] = cum_acc[:]
+        nth = theta_acc[0] * theta_acc[0]
+        dotw = theta_acc[0] * w_acc[0]
+        for j in range(1, d):
+            nth = nth + theta_acc[j] * theta_acc[j]
+            dotw = dotw + theta_acc[j] * w_acc[j]
+        effC = _ftl_eff(nth)
+        out_ref[0] = 0.5 * (cum - (cnt - effC * dotw))
 
 
 @functools.partial(jax.jit,
@@ -420,26 +419,27 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
         sublanes=S, itemsize=z_pack.dtype.itemsize)
 
     t = np.arange(1, T + 1, dtype=np.float32)
-    isqrt = jnp.asarray(1.0 / np.sqrt(np.maximum(t, 1.0)))
+    scaleh = jnp.asarray(-0.5 / np.sqrt(np.maximum(t, 1.0)))
+    s2 = jnp.asarray(0.25 / np.maximum(t, 1.0))
     eta_grid = jnp.asarray(eta_grid, jnp.float32)
 
     kernel = functools.partial(_sweep_kernel, ct=ct, d=d, nchunks=nchunks,
                                unroll=u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # isqrt, eta_grid
-        grid=(nb, E, 2 * nchunks),
+        num_scalar_prefetch=3,  # scaleh, s2, eta_grid
+        grid=(nb, E, nchunks),
         in_specs=[
             pl.BlockSpec((ct, d, S, lanes),
-                         lambda i, e, j, s1, s2: (j % nchunks, 0, 0, i)),
+                         lambda i, e, j, s1, s2, s3: (j, 0, 0, i)),
             pl.BlockSpec((ct, S, lanes),
-                         lambda i, e, j, s1, s2: (j % nchunks, 0, i)),
+                         lambda i, e, j, s1, s2, s3: (j, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, S, lanes),
-                               lambda i, e, j, s1, s2: (e, 0, i)),
+                               lambda i, e, j, s1, s2, s3: (e, 0, i)),
         scratch_shapes=[
-            pltpu.VMEM((d, S, lanes), jnp.float32),
-            pltpu.VMEM((S, lanes), jnp.float32),
-            pltpu.VMEM((d, S, lanes), jnp.float32),
+            pltpu.VMEM((d, S, lanes), jnp.float32),   # theta2
+            pltpu.VMEM((d, S, lanes), jnp.float32),   # w = sum y z
+            pltpu.VMEM((2, S, lanes), jnp.float32),   # [cum, cnt]
         ],
     )
     regrets = pl.pallas_call(
@@ -449,7 +449,7 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(isqrt, eta_grid, z_pack, y_pack)
+    )(scaleh, s2, eta_grid, z_pack, y_pack)
     return regrets
 
 
