@@ -132,6 +132,28 @@ def sharded_pallas_regrets(mesh: Mesh, z_pack, y_pack, eta, *,
     return run(*args)
 
 
+def sharded_smart_pallas(mesh: Mesh, z_pack, y_pack, thresh_pack, eta_pack,
+                         *, interpret: bool = False):
+    """The fused single-pass SMART kernel under ``shard_map``: lanes (and
+    their per-lane threshold/eta tiles) shard across the whole mesh.
+    Returns (regret, switch_t), both still sharded over the lanes."""
+    from online_convex_optimization_tpu.ops.pallas_smart import (
+        smart_regrets_packed)
+
+    B = y_pack.shape[2]
+    assert B % (128 * mesh.size) == 0, (B, mesh.size)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, None, _BOTH), P(None, None, _BOTH),
+                       P(None, _BOTH), P(None, _BOTH)),
+             out_specs=(P(None, _BOTH), P(None, _BOTH)), check_vma=False)
+    def run(z_loc, y_loc, th_loc, eta_loc):
+        return smart_regrets_packed(z_loc, y_loc, th_loc, eta_loc,
+                                    interpret=interpret)
+
+    return run(z_pack, y_pack, thresh_pack, eta_pack)
+
+
 def mean_and_ci(stats, z_value: float = 1.96):
     """mean +- z * SEM from (n, sum, sum_sq) sufficient statistics.
 

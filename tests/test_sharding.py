@@ -116,3 +116,43 @@ def test_sharded_pallas_kernel_matches_unsharded():
     np.testing.assert_allclose(np.asarray(unpack_result(got_e, B)),
                                np.asarray(unpack_result(want_e, B)),
                                atol=1e-5)
+
+
+def test_sharded_smart_kernel_matches_unsharded():
+    """The fused SMART kernel composes with the mesh: per-lane (threshold,
+    eta) grids shard with the lanes; regrets and switch rounds match the
+    single-device kernel exactly."""
+    import math
+
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_per_seq,
+        pack_sequences,
+    )
+    from online_convex_optimization_tpu.ops.pallas_smart import (
+        smart_regrets_packed,
+    )
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_smart_pallas,
+    )
+
+    n = len(jax.devices())
+    B, T = 1024 * n, 32
+    z, y = _batch(B, T=T, seed=9)
+    z = z.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    z_pack, y_pack, _ = pack_sequences(z, y)
+    S = z_pack.shape[2]
+    rng = np.random.default_rng(1)
+    th = pack_per_seq(jnp.asarray(
+        rng.uniform(0.6, math.sqrt(2 * T), B).astype(np.float32)), S)
+    et = pack_per_seq(jnp.asarray(
+        rng.uniform(0.3, 3.0, B).astype(np.float32)), S)
+    mesh = make_mesh(n // 2, 2)
+
+    got_r, got_t = sharded_smart_pallas(mesh, z_pack, y_pack, th, et,
+                                        interpret=True)
+    want_r, want_t = smart_regrets_packed(z_pack, y_pack, th, et,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))

@@ -101,3 +101,24 @@ def test_failure_containment():
     assert int(n) == 3
     assert float(mx) == 2.0
     assert float(mean) == pytest.approx(0.0)
+
+
+def test_eta_sweep_kernel_route_matches_scan_route():
+    """use_kernel=True (interpret) == the scan cross-product, incl. padded
+    lengths routed through tail masking."""
+    import numpy as np
+
+    from online_convex_optimization_tpu.models.sweep_api import ftrl_eta_sweep
+
+    rng = np.random.default_rng(8)
+    B, T = 128, 48
+    z = rng.normal(size=(B, T, 5)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0).astype(np.float32)
+    length = np.where(np.arange(B) % 2 == 0, T, 32)
+    grid = np.linspace(0.3, 2.0, 3).astype(np.float32)
+    got = np.asarray(ftrl_eta_sweep(z, y, grid, length=length,
+                                    use_kernel=True, interpret=True))
+    want = np.asarray(ftrl_eta_sweep(z, y, grid, length=length,
+                                     use_kernel=False))
+    np.testing.assert_allclose(got, want, atol=5e-4)
