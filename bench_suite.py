@@ -163,6 +163,50 @@ def main():
                         "note": "sweep as kernel grid dimension, bf16"})
         del zs, ys
 
+    # --- streaming long-horizon game (TPU only): T=1e6 per sequence at
+    # constant device memory; chunks are generated ON DEVICE (host feed
+    # through the relay would bench the 10 MB/s link, not the chip) and a
+    # mid-run carry checkpoint round-trips through save_pytree. ---
+    if on_tpu:
+        from online_convex_optimization_tpu.models.streaming import (
+            StreamingGame)
+        from online_convex_optimization_tpu.utils.checkpointing import (
+            load_pytree, save_pytree)
+
+        B_s, CT, N_CHUNKS = 1024, 32768, 32          # T = 1,048,576
+        d_s = 5
+
+        @functools.partial(jax.jit, static_argnames=("ct", "b", "d"))
+        def gen_chunk(key, ct, b, d):
+            kz, ky = jax.random.split(key)
+            zc = jax.random.normal(kz, (ct, b, d), jnp.float32)
+            zc /= jnp.maximum(jnp.linalg.norm(zc, axis=-1, keepdims=True),
+                              1.0)
+            yc = jax.random.rademacher(ky, (ct, b), jnp.float32)
+            return zc, yc
+
+        keys = list(jax.random.split(jax.random.key(7), N_CHUNKS))
+        game = StreamingGame(B=B_s, d=d_s, alg_flag=0, eta0=np.sqrt(2.0))
+        game.feed(*gen_chunk(keys[0], CT, B_s, d_s))   # compile + warm
+        np.asarray(game.state.cum_loss)
+
+        game = StreamingGame(B=B_s, d=d_s, alg_flag=0, eta0=np.sqrt(2.0))
+        t0 = time.perf_counter()
+        for i, k in enumerate(keys):
+            game.feed(*gen_chunk(k, CT, B_s, d_s))
+            if i == N_CHUNKS // 2:                      # mid-run checkpoint
+                save_pytree("/tmp/stream_carry.npz", game.carry_state())
+                game.resume(load_pytree("/tmp/stream_carry.npz",
+                                        game.carry_state()))
+        final_cum = np.asarray(game.state.cum_loss)     # host fetch fence
+        secs = time.perf_counter() - t0
+        assert np.isfinite(final_cum).all()
+        records.append({"metric": "streaming_T1M_steps_per_s",
+                        "value": B_s * CT * N_CHUNKS / secs,
+                        "unit": "steps/s",
+                        "note": "T=2^20, B=1024, device-generated chunks, "
+                                "mid-run carry checkpoint round-trip"})
+
     # --- xla scan / smart / sweep / exact (any backend) ---
     B, T = (256, 256) if small else (8192, 1024)
     z = rng.standard_normal((B, T, 5)).astype(np.float32)
@@ -186,9 +230,11 @@ def main():
 
     Bs = 32 if small else 512
     grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
-    secs = _fetch_time(lambda: ftrl_eta_sweep(zd[:Bs], yd[:Bs], grid))
+    secs = _fetch_time(lambda: ftrl_eta_sweep(zd[:Bs], yd[:Bs], grid,
+                                              use_kernel=False))
     records.append({"metric": "eta_sweep64_seqsteps_per_s",
-                    "value": Bs * 64 * T / secs, "unit": "seq*steps/s"})
+                    "value": Bs * 64 * T / secs, "unit": "seq*steps/s",
+                    "note": "scan path (kernel route benched separately)"})
 
     Tp = 128 if small else 512
     Bp = 4 if small else 32

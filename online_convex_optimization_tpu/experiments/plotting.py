@@ -24,17 +24,20 @@ LABELS = {
 
 
 def _plot_with_ci(ax, x, mean, ci, label):
+    """Mean curve with a 95%-CI band (band layout mirrors the reference
+    figures, driver.py:134-139, which output-parity pins)."""
+    mean = np.asarray(mean, dtype=float)
+    ci = np.asarray(ci, dtype=float)
     (line,) = ax.plot(x, mean, label=label)
-    ci = np.asarray(ci)
     if np.any(ci > 0.0):
-        ax.fill_between(x, np.asarray(mean) - ci, np.asarray(mean) + ci,
-                        alpha=0.2, linewidth=0, color=line.get_color())
+        ax.fill_between(x, mean - ci, mean + ci, alpha=0.2, linewidth=0,
+                        color=line.get_color())
 
 
 def plot_empirical_g(T_grid, g_emp: Mapping[int, float], *,
                      out_path: str = "empirical_g_T.png",
                      title: str = "Empirical worst-case g(T) for SMART (ALG_WC = FTRL)",
-                     dpi: int = 200) -> None:
+                     dpi: int = 600) -> None:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -63,7 +66,7 @@ def plot_comparisons(T_grid,
                      runs_by_title: Mapping[str, int] = None,
                      reps_by_title: Mapping[str, int] = None,
                      suptitle: str = "Online Linear Binary Classification",
-                     dpi: int = 200) -> None:
+                     dpi: int = 600) -> None:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

@@ -56,15 +56,20 @@ def ftrl_eta_sweep(z, y, eta_grid, *, alg_flag: int = 0,
         use_kernel = jax.default_backend() == "tpu" and alg_flag == 0
     if use_kernel:
         from online_convex_optimization_tpu.ops.pallas_game import (
-            eta_sweep_packed, pack_sequences, unpack_result)
+            LANES, eta_sweep_packed, pack_sequences)
         assert alg_flag == 0, "kernel sweep path is FTRL-only"
         zm, ym = _mask_tails(z, y, length)
         z_pack, y_pack, B = pack_sequences(zm, ym)
         reg = eta_sweep_packed(z_pack, y_pack,
                                jnp.asarray(eta_grid, jnp.float32),
                                interpret=interpret)           # (E, S, Bp)
-        cols = [unpack_result(reg[e], B) for e in range(reg.shape[0])]
-        return jnp.stack(cols, axis=1)                        # (B, E)
+        # Vectorized unpack (the per-e twin of unpack_result): ONE device
+        # op, not E host round-trips.
+        E, S, BL = reg.shape
+        nb = BL // LANES
+        out = (reg.reshape(E, S, nb, LANES).transpose(0, 2, 1, 3)
+                  .reshape(E, nb * S * LANES)[:, :B])
+        return out.T                                          # (B, E)
     eta_grid = jnp.asarray(eta_grid, z.dtype)
     E = eta_grid.shape[0]
     z_rep, y_rep, B = _cross(z, y, E)
