@@ -222,8 +222,12 @@ def evaluate_stream_exact(
     # minimizer and the ONE compiled (T_max, reps) program serves the whole
     # horizon grid (10 horizons would otherwise mean 10 multi-minute remote
     # compiles through the TPU relay).
+    # tol: residual-based early exit (iters is the cap); under vmap the
+    # while_loop runs until the slowest replicate converges, so easy
+    # (run, T) calls finish in a fraction of the iteration budget.
     prefix_solve = jax.jit(jax.vmap(
-        lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm, iters=iters)),
+        lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm, iters=iters,
+                                          tol=2e-4)),
         static_argnums=())
 
     run_iter = range(runs)

@@ -119,7 +119,8 @@ def estimate_g_exact(
             pass
 
     solve = jax.jit(jax.vmap(
-        lambda zz, yy: _admm_full(zz, yy, norm=norm, iters=iters)))
+        lambda zz, yy: _admm_full(zz, yy, norm=norm, iters=iters,
+                                  tol=2e-4)))
     T_max = max(int(t) for t in T_grid)
 
     for T in iterator:

@@ -79,7 +79,7 @@ def _soft_threshold(v: jnp.ndarray, kappa) -> jnp.ndarray:
     return jnp.sign(v) * jnp.maximum(jnp.abs(v) - kappa, 0.0)
 
 
-@partial(jax.jit, static_argnames=("norm", "iters"))
+@partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol"))
 def _admm_all_prefixes(
     z: jnp.ndarray,
     y: jnp.ndarray,
@@ -88,11 +88,17 @@ def _admm_all_prefixes(
     iters: int = 600,
     rho: float = 1.0,
     alpha: float = 1.7,
+    tol: float = 0.0,
+    check_every: int = 100,
 ) -> jnp.ndarray:
     """Solve the exact-FTL program for every prefix length 1..T at once.
 
     Args:
       z: (T, d); y: (T,).
+      tol: when > 0, residual-based early stopping — the iteration loop
+        exits once EVERY prefix's residual is <= tol (checked every
+        ``check_every`` iterations at the cost of one extra (T,T) matmul
+        per check); ``iters`` remains the hard cap.
     Returns:
       X: (T, d) where X[p-1] minimizes the length-p prefix objective.
     """
@@ -133,18 +139,38 @@ def _admm_all_prefixes(
         V = V + X_hat - W
         return (X, S, U, W, V)
 
+    def residuals(state):
+        # Per prefix: primal residual (masked split consensus) and
+        # ball-copy consensus, both inf-norms.
+        X, S, U, W, V = state
+        R = mask * (jnp.matmul(X, z.T, precision=_HI) - y[None, :])
+        pri = jnp.max(jnp.abs(R - S), axis=1)
+        cons = jnp.max(jnp.abs(X - W), axis=1)
+        return jnp.maximum(pri, cons)                      # (T,)
+
     zeros_T = jnp.zeros((T, T), dtype=dtype)
     zeros_d = jnp.zeros((T, d), dtype=dtype)
     state = (zeros_d, zeros_T, zeros_T, zeros_d, zeros_d)
-    X, S, U, W, V = jax.lax.fori_loop(0, iters, body, state)
-    # Convergence telemetry per prefix: primal residual (masked split
-    # consensus) and ball-copy consensus, both inf-norms.
-    R = mask * (jnp.matmul(X, z.T, precision=_HI) - y[None, :])
-    pri = jnp.max(jnp.abs(R - S), axis=1)
-    cons = jnp.max(jnp.abs(X - W), axis=1)
-    res = jnp.maximum(pri, cons)                           # (T,)
+    if tol > 0.0:
+        n_blocks = -(-iters // check_every)
+
+        def w_cond(carry):
+            _, blk, worst = carry
+            return jnp.logical_and(blk < n_blocks, worst > tol)
+
+        def w_body(carry):
+            st, blk, _ = carry
+            st = jax.lax.fori_loop(0, check_every, body, st)
+            return st, blk + 1, jnp.max(residuals(st))
+
+        state, _, _ = jax.lax.while_loop(
+            w_cond, w_body, (state, jnp.zeros((), jnp.int32),
+                             jnp.asarray(jnp.inf, dtype)))
+    else:
+        state = jax.lax.fori_loop(0, iters, body, state)
+    res = residuals(state)
     # Return the feasible copy (inside the ball by construction).
-    return W, res
+    return state[3], res
 
 
 @partial(jax.jit, static_argnames=("norm", "iters"))
@@ -189,11 +215,13 @@ def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
     return state, res
 
 
-@partial(jax.jit, static_argnames=("norm", "iters"))
+@partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol"))
 def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
-               rho: float = 1.0, alpha: float = 1.7) -> jnp.ndarray:
+               rho: float = 1.0, alpha: float = 1.7, tol: float = 0.0,
+               check_every: int = 100) -> jnp.ndarray:
     """Single full-sequence solve (comparator oracle): cheaper state (one
-    prefix), same splitting."""
+    prefix), same splitting; ``tol`` > 0 enables residual-based early
+    stopping with ``iters`` as the hard cap."""
     T, d = z.shape
     dtype = z.dtype
     project = _PROJECT[norm]
@@ -214,13 +242,32 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
         v = v + x_hat - w
         return (x, s, u, w, v)
 
+    def residual(state):
+        x, s, u, w, v = state
+        r = jnp.matmul(z, x, precision=_HI) - y
+        return jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
+
     state = (jnp.zeros((d,), dtype), jnp.zeros((T,), dtype),
              jnp.zeros((T,), dtype), jnp.zeros((d,), dtype),
              jnp.zeros((d,), dtype))
-    x, s, u, w, v = jax.lax.fori_loop(0, iters, body, state)
-    r = jnp.matmul(z, x, precision=_HI) - y
-    res = jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
-    return w, res
+    if tol > 0.0:
+        n_blocks = -(-iters // check_every)
+
+        def w_cond(carry):
+            _, blk, worst = carry
+            return jnp.logical_and(blk < n_blocks, worst > tol)
+
+        def w_body(carry):
+            st, blk, _ = carry
+            st = jax.lax.fori_loop(0, check_every, body, st)
+            return st, blk + 1, residual(st)
+
+        state, _, _ = jax.lax.while_loop(
+            w_cond, w_body, (state, jnp.zeros((), jnp.int32),
+                             jnp.asarray(jnp.inf, dtype)))
+    else:
+        state = jax.lax.fori_loop(0, iters, body, state)
+    return state[3], residual(state)
 
 
 @dataclasses.dataclass
@@ -255,6 +302,7 @@ class ExactFTL:
     polish: bool = True
     fail_tol: float = 1e-3
     on_fail: str = "raise"  # or "sentinel"
+    stop_tol: float = 1e-5  # residual-based early exit; iters stays the cap
 
     def __post_init__(self):
         self._z_buf = np.zeros((self.T_max, self.d))
@@ -355,7 +403,8 @@ class ExactFTL:
         if T > self.T_max:
             raise ValueError("sequence longer than T_max")
         X, res = _admm_all_prefixes(z, y, norm=self.norm, iters=self.iters,
-                                    rho=self.rho, alpha=self.alpha)
+                                    rho=self.rho, alpha=self.alpha,
+                                    tol=self.stop_tol)
         res_np = np.asarray(res)
         worst = float(res_np.max()) if res_np.size else 0.0
         self.last_info = {"residual": worst,
@@ -374,7 +423,8 @@ class ExactFTL:
     def solve_full(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Minimizer over the whole sequence (the exact comparator)."""
         x, res = _admm_full(jnp.asarray(z), jnp.asarray(y), norm=self.norm,
-                            iters=self.iters, rho=self.rho, alpha=self.alpha)
+                            iters=self.iters, rho=self.rho, alpha=self.alpha,
+                            tol=self.stop_tol)
         res_f = float(res)
         self.last_info = {"residual": res_f}
         x = np.asarray(x, np.float64)
