@@ -56,9 +56,14 @@ def _resolve_dtype(cfg: ExperimentConfig):
 
 
 def run_experiment(cfg: ExperimentConfig) -> Dict:
+    from online_convex_optimization_tpu.utils.logging_utils import (
+        get_logger, log_metrics)
+    log = get_logger()
     t_start = time.time()
     dtype = _resolve_dtype(cfg)
     os.makedirs(cfg.out_dir, exist_ok=True)
+    log.info("experiment start: exact=%s T_grid=%s g_runs=%d dtype=%s",
+             cfg.exact, cfg.T_grid, cfg.g_runs, np.dtype(dtype).name)
     suffix = "_exact" if cfg.exact else ""
     cache = (os.path.join(cfg.out_dir, f"g_emp_{cfg.g_cache_key()}.json")
              if cfg.checkpoint else None)
@@ -130,6 +135,12 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
     }
     with open(os.path.join(cfg.out_dir, f"results{suffix}.json"), "w") as f:
         json.dump(results, f, indent=1)
+    log.info("experiment done in %.1fs -> %s", results["wall_s"],
+             cfg.out_dir)
+    log_metrics(os.path.join(cfg.out_dir, "metrics.jsonl"), {
+        "event": "experiment_done", "exact": cfg.exact,
+        "wall_s": results["wall_s"], "g_runs": cfg.g_runs,
+        "cases": list(results["stats"])})
     return results
 
 

@@ -114,7 +114,6 @@ def _admm_all_prefixes(
     chol = jax.vmap(jnp.linalg.cholesky)(A)                # (T, d, d)
 
     kappa = 0.5 / rho
-    my = mask * y[None, :]
 
     def solve_x(rhs):
         # Batched (T, d) solve via the precomputed Cholesky factors.

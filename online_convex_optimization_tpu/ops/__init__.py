@@ -11,6 +11,19 @@ from online_convex_optimization_tpu.ops.actions import (
     project_l1_ball,
     project_linf_ball,
 )
+from online_convex_optimization_tpu.ops.pallas_game import (
+    eta_sweep_packed,
+    pack_per_seq,
+    pack_sequences,
+    regrets_fused,
+    simulate_linear_pallas_v2,
+    synthetic_regrets,
+    unpack_result,
+)
+from online_convex_optimization_tpu.ops.pallas_smart import (
+    simulate_smart_pallas,
+    smart_regrets_packed,
+)
 
 __all__ = [
     "normalized_hinge",
@@ -20,4 +33,13 @@ __all__ = [
     "project_l2_ball",
     "project_l1_ball",
     "project_linf_ball",
+    "eta_sweep_packed",
+    "pack_per_seq",
+    "pack_sequences",
+    "regrets_fused",
+    "simulate_linear_pallas_v2",
+    "synthetic_regrets",
+    "unpack_result",
+    "simulate_smart_pallas",
+    "smart_regrets_packed",
 ]

@@ -776,13 +776,29 @@ def regrets_packed_eta(z_pack, y_pack, eta_pack, *, chunk_t: int = 256,
     return _comparator_epilogue(z_pack, y_pack, cum, theta)
 
 
-def pack_sequences(z: jnp.ndarray, y: jnp.ndarray, dtype=jnp.float32):
+def pack_sequences(z: jnp.ndarray, y: jnp.ndarray, dtype=jnp.float32,
+                   *, validate: bool = False):
     """(B, T, d) / (B, T) -> packed kernel layout; returns (z_pack, y_pack, B).
 
     dtype selects HBM storage: f32 (8 sublanes) or bf16 (16 sublanes, half
     the traffic; labels stay exact, z rows round to bf16).
+
+    validate=True enforces the identity-kernel data contract on host
+    (||z_t||_2 <= 1 per row, y in {-1, 0, +1}) — the framework's builders
+    guarantee it, but external data violating it would corrupt the
+    identity-based comparator silently.  Costs a device sync; off by
+    default on the hot path.
     """
     B, T, d = z.shape
+    if validate:
+        max_norm = float(jnp.max(jnp.sum(z * z, axis=-1)))
+        if max_norm > 1.0 + 1e-5:
+            raise ValueError(
+                f"rows must lie in the unit L2 ball (max ||z||^2 = "
+                f"{max_norm:.6f}); clip rows like the data builders do")
+        bad_y = float(jnp.max(jnp.abs(y * y * y - y)))
+        if bad_y > 1e-6:
+            raise ValueError("labels must be in {-1, 0, +1}")
     S = sublanes_for(dtype)
     seq_tile = LANES * S
     pad_b = (-B) % seq_tile

@@ -221,3 +221,16 @@ def test_v2_tpu_per_lane_eta_matches_scan():
     want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
                                             0, jnp.asarray(etas)).regret)
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_pack_sequences_validate_rejects_contract_violations():
+    z, y = _batch(B=SEQ_TILE, T=8)
+    pack_sequences(jnp.asarray(z), jnp.asarray(y), validate=True)  # ok
+    z_bad = z.copy()
+    z_bad[0, 0] *= 3.0  # row outside the unit ball
+    with pytest.raises(ValueError, match="unit L2 ball"):
+        pack_sequences(jnp.asarray(z_bad), jnp.asarray(y), validate=True)
+    y_bad = y.copy()
+    y_bad[0, 0] = 0.5
+    with pytest.raises(ValueError, match="labels"):
+        pack_sequences(jnp.asarray(z), jnp.asarray(y_bad), validate=True)
