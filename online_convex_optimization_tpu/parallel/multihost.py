@@ -26,7 +26,7 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
                seed: int = 0, coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
-               n_hyper: int = 1) -> dict:
+               n_hyper: int = 1, bench_reps: int = 0) -> dict:
     """Run one host's share of a global FTRL regret sweep; returns the
     globally reduced statistics (identical on every host).
 
@@ -82,7 +82,8 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
                        jnp.sum(r * r)]), "data")
         return g_max[None], stats[None]
 
-    g_max, stats = jax.jit(sweep)(keys)
+    jitted = jax.jit(sweep)
+    g_max, stats = jitted(keys)
     g_max = np.asarray(g_max)                       # (n_hyper,)
     stats = np.asarray(stats)                       # (n_hyper, 3)
     n = stats[:, 0]
@@ -103,6 +104,20 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
         "mean_regret": float((stats[:, 1].sum()) / n.sum()),
         "sem": float(np.sqrt(var.mean() / n.sum())),
     }
+
+    if bench_reps > 0:
+        # Timed mode (BASELINE.md: steps/s at 1 host / >= 2 hosts): the
+        # sweep is re-run bench_reps times; the host fetch fences each.
+        import time
+        np.asarray(jitted(keys)[0])
+        best = float("inf")
+        for _ in range(bench_reps):
+            t0 = time.perf_counter()
+            np.asarray(jitted(keys)[0])
+            best = min(best, time.perf_counter() - t0)
+        steps = n_global * per_device_batch * T
+        out["bench_steps_per_s"] = steps / best
+        out["bench_steps_per_s_per_device"] = steps / best / n_global
     return out
 
 
@@ -117,11 +132,14 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--hyper", type=int, default=1,
                    help="size of the hyperparameter mesh axis")
+    p.add_argument("--bench-reps", type=int, default=0,
+                   help="time the sweep this many times (0 = off)")
     args = p.parse_args(argv)
     out = run_worker(args.t, args.per_device_batch, eta0=args.eta0,
                      seed=args.seed, coordinator=args.coordinator,
                      num_processes=args.num_processes,
-                     process_id=args.process_id, n_hyper=args.hyper)
+                     process_id=args.process_id, n_hyper=args.hyper,
+                     bench_reps=args.bench_reps)
     print(json.dumps(out))
 
 

@@ -100,6 +100,62 @@ def measure_scaling(device_counts: Optional[Sequence[int]] = None, *,
     return points
 
 
+def measure_multihost(configs=((1, 4), (2, 2)), *, T: int = 256,
+                      per_device_batch: int = 512, bench_reps: int = 3):
+    """Cross-PROCESS scaling: spawn (n_processes, devices_per_process)
+    worker groups (gloo CPU collectives standing in for DCN) and collect
+    each configuration's timed sweep throughput — the '1 host / >= 2
+    hosts' rows of BASELINE.md, measurable without a pod."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    points = []
+    for n_proc, devs in configs:
+        port = free_port()
+        env = {**os.environ, "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": f"--xla_force_host_platform_device_count={devs}"}
+        procs = [subprocess.Popen(
+            [sys.executable, "-m",
+             "online_convex_optimization_tpu.parallel.multihost",
+             "--t", str(T), "--per-device-batch", str(per_device_batch),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", str(n_proc), "--process-id", str(i),
+             "--bench-reps", str(bench_reps)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True) for i in range(n_proc)]
+        outs = []
+        for pr in procs:
+            stdout, stderr = pr.communicate(timeout=600)
+            if pr.returncode != 0:
+                raise RuntimeError(stderr[-2000:])
+            outs.append(_json.loads(stdout.strip().splitlines()[-1]))
+        points.append({
+            "n_processes": n_proc,
+            "devices_per_process": devs,
+            "n_global_devices": outs[0]["n_global_devices"],
+            "steps_per_s": outs[0]["bench_steps_per_s"],
+            "steps_per_s_per_device":
+                outs[0]["bench_steps_per_s_per_device"],
+            "agree_across_hosts": all(
+                abs(o["bench_steps_per_s"] - outs[0]["bench_steps_per_s"])
+                / outs[0]["bench_steps_per_s"] < 0.5 for o in outs),
+        })
+    return points
+
+
 def main(argv=None):
     """Measure the scaling curve and write it as a JSON artifact
     (BASELINE.md: steps/s measured across mesh sizes)."""
@@ -111,6 +167,8 @@ def main(argv=None):
     p.add_argument("--b-per-dev", type=int, default=1024)
     p.add_argument("--t", type=int, default=256)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--multihost", action="store_true",
+                   help="also measure 1-vs-2-process (simulated hosts)")
     args = p.parse_args(argv)
 
     pts = measure_scaling(B_per_dev=args.b_per_dev, T=args.t, reps=args.reps)
@@ -122,6 +180,9 @@ def main(argv=None):
                      "reps": args.reps, "program": "sharded FTRL sweep"},
         "points": [vars(pt) for pt in pts],
     }
+    if args.multihost:
+        record["multihost_points"] = measure_multihost(
+            T=args.t, per_device_batch=args.b_per_dev)
     import os
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
