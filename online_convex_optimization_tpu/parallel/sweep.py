@@ -24,6 +24,7 @@ from jax import shard_map
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
 from online_convex_optimization_tpu.models.smart import simulate_smart_batch
 from online_convex_optimization_tpu.parallel.mesh import DATA_AXIS, HYPER_AXIS
+from online_convex_optimization_tpu.utils.debug import finite_or_sentinel
 
 _BOTH = (DATA_AXIS, HYPER_AXIS)
 
@@ -47,7 +48,10 @@ def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
         else:
             (z_loc, y_loc), len_loc = args, None
         res = simulate_linear_batch(z_loc, y_loc, alg_flag, eta0, len_loc)
-        local_max = jnp.max(res.regret)
+        # Failure containment (utils/debug): one diverged scenario must not
+        # poison the cross-device pmax with a NaN.
+        r = finite_or_sentinel(res.regret, -jnp.inf)
+        local_max = jnp.max(r)
         local_max = jax.lax.pmax(local_max, DATA_AXIS)
         local_max = jax.lax.pmax(local_max, HYPER_AXIS)
         return local_max
@@ -68,8 +72,11 @@ def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0):
              check_vma=False)
     def run(z_loc, y_loc):
         res = simulate_linear_batch(z_loc, y_loc, alg_flag, eta0, None)
-        r = res.regret
-        stats = jnp.stack([jnp.asarray(r.size, r.dtype), jnp.sum(r),
+        # Non-finite scenario results are dropped from (n, sum, sum_sq)
+        # instead of poisoning the cross-device psum (utils/debug).
+        finite = jnp.isfinite(res.regret)
+        r = jnp.where(finite, res.regret, 0.0)
+        stats = jnp.stack([jnp.sum(finite.astype(r.dtype)), jnp.sum(r),
                            jnp.sum(r * r)])
         stats = jax.lax.psum(stats, DATA_AXIS)
         stats = jax.lax.psum(stats, HYPER_AXIS)

@@ -156,3 +156,22 @@ def test_sharded_smart_kernel_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+
+
+def test_sharded_reductions_contain_nonfinite_scenarios():
+    """A diverged (NaN) scenario must not poison pmax/psum reductions."""
+    B = 16
+    z, y = _batch(B, T=32, seed=11)
+    z = np.asarray(z).copy()
+    z[3] = np.nan                           # one poisoned scenario
+    mesh = make_mesh(4, 2)
+    g = sharded_max_regret(mesh, jnp.asarray(z), y, 1.2)
+    assert np.isfinite(float(g))
+    z_clean, _ = _batch(B, T=32, seed=11)
+    g_clean_all = np.asarray(
+        simulate_linear_batch(jnp.asarray(z_clean), y, 0, 1.2).regret)
+    assert float(g) == pytest.approx(
+        float(np.max(np.delete(g_clean_all, 3))), abs=1e-9)
+    stats = sharded_regret_stats(mesh, jnp.asarray(z), y, 0, 1.2)
+    n, s, ss = (float(v) for v in np.asarray(stats))
+    assert n == B - 1 and np.isfinite(s) and np.isfinite(ss)
