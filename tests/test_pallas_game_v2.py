@@ -234,3 +234,21 @@ def test_pack_sequences_validate_rejects_contract_violations():
     y_bad[0, 0] = 0.5
     with pytest.raises(ValueError, match="labels"):
         pack_sequences(jnp.asarray(z), jnp.asarray(y_bad), validate=True)
+
+
+def test_v2_generalizes_d8_and_odd_T():
+    """Kernels are generic in d (register unroll) and T (tile chooser
+    falls back to odd chunk sizes with unroll=1)."""
+    rng = np.random.default_rng(21)
+    for d, T in ((8, 32), (5, 97), (2, 64)):
+        z = rng.normal(size=(SEQ_TILE, T, d)).astype(np.float32)
+        z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+        y = np.where(rng.random((SEQ_TILE, T)) < 0.5, -1.0,
+                     1.0).astype(np.float32)
+        got = np.asarray(simulate_linear_pallas_v2(z, y, 0, 1.1,
+                                                   interpret=True))
+        want = np.asarray(simulate_linear_batch(
+            jnp.asarray(z), jnp.asarray(y), 0, 1.1).regret,
+            dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=5e-4,
+                                   err_msg=f"d={d} T={T}")

@@ -97,3 +97,21 @@ def test_smart_kernel_tpu_matches_scan():
                                atol=5e-3)
     np.testing.assert_array_equal(np.asarray(got_t),
                                   np.asarray(want.switch_t))
+
+
+def test_smart_kernel_immediate_switch_and_extremes():
+    """thresh=0 forces a round-0 switch (FTRL from round 1); extreme eta
+    values exercise the projection clip on both sides."""
+    z, y = _batch(B=SEQ_TILE, T=40, seed=8)
+    for thresh, eta in ((0.0, 1e-3), (0.0, 50.0), (1e9, 1e-3)):
+        got_r, got_t = simulate_smart_pallas(z, y, thresh, eta,
+                                             interpret=True)
+        want = simulate_smart_batch(
+            jnp.asarray(z), jnp.asarray(y),
+            jnp.full((SEQ_TILE,), thresh, jnp.float32),
+            jnp.full((SEQ_TILE,), eta, jnp.float32))
+        np.testing.assert_allclose(np.asarray(got_r),
+                                   np.asarray(want.regret), atol=5e-4,
+                                   err_msg=f"thresh={thresh} eta={eta}")
+        np.testing.assert_array_equal(np.asarray(got_t),
+                                      np.asarray(want.switch_t))
