@@ -32,6 +32,10 @@ class ExperimentConfig:
     precision: str = "auto"       # auto: x64 on CPU, f32 on TPU
     exact: bool = False           # exact-FTL comparison mode (exact driver)
     exact_iters: int = 2000
+    # ADMM iterate-matmul MXU precision: "highest" (f32-exact, parity-safe
+    # default) or "high" (bf16x3, ~2x faster iterates; the HIGHEST-precision
+    # residual check + host active-set polish keep final accuracy ~1e-9).
+    exact_admm_precision: str = "highest"
     norm: str = "l2"              # exact oracle ball (exact_ftl.py:72)
     out_dir: str = "results"
     dpi: int = 600                # matches the reference (driver.py:158)
@@ -51,6 +55,8 @@ class ExperimentConfig:
             "precision": self.precision, "exact": self.exact,
             "norm": self.norm if self.exact else None,
             "iters": self.exact_iters if self.exact else None,
+            "admm_prec": (self.exact_admm_precision if self.exact
+                          else None),
         }, sort_keys=True)
         return hashlib.sha1(payload.encode()).hexdigest()[:12]
 
@@ -77,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact", action="store_true",
                    help="exact-FTL comparison mode (exact_ftl_driver.py)")
     p.add_argument("--exact-iters", type=int, default=d.exact_iters)
+    p.add_argument("--exact-admm-precision", choices=["highest", "high"],
+                   default=d.exact_admm_precision,
+                   help="MXU precision of ADMM iterate matmuls (residual "
+                        "checks and final polish keep full accuracy)")
     p.add_argument("--norm", choices=["l2", "linf", "l1"], default=d.norm)
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--dpi", type=int, default=d.dpi)
@@ -97,7 +107,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         cases=tuple(args.cases) if args.cases else (),
         runs_override=args.runs, replicates_override=args.replicates,
         precision=args.precision, exact=args.exact,
-        exact_iters=args.exact_iters, norm=args.norm,
+        exact_iters=args.exact_iters,
+        exact_admm_precision=args.exact_admm_precision, norm=args.norm,
         out_dir=args.out_dir, dpi=args.dpi,
         checkpoint=not args.no_checkpoint, batch_chunk=args.batch_chunk,
         check=args.check, profile_dir=args.profile_dir)

@@ -73,7 +73,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
         g_emp = estimate_g_exact(cfg.T_grid, runs=cfg.g_runs,
                                  base_seed=cfg.base_seed, eta0=cfg.eta0,
                                  norm=cfg.norm, iters=cfg.exact_iters,
-                                 dtype=dtype, cache_path=cache)
+                                 dtype=dtype, cache_path=cache,
+                                 admm_precision=cfg.exact_admm_precision)
         g_title = "Empirical worst-case g(T) for SMART (exact FTRL)"
     else:
         g_emp = estimate_g(cfg.T_grid, runs=cfg.g_runs,
@@ -106,7 +107,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
                 stats_by_case[title] = evaluate_stream_exact(
                     builder, cfg.T_grid, runs=runs, replicates=reps,
                     base_seed=cfg.base_seed, eta0=cfg.eta0, norm=cfg.norm,
-                    iters=cfg.exact_iters, dtype=dtype, stream_name=title)
+                    iters=cfg.exact_iters, dtype=dtype, stream_name=title,
+                    admm_precision=cfg.exact_admm_precision)
             else:
                 stats_by_case[title] = evaluate_stream_with_stats(
                     builder, cfg.T_grid, g_emp, runs=runs, replicates=reps,

@@ -190,6 +190,7 @@ def evaluate_stream_exact(
     progress: bool = True,
     polish: bool = True,
     fail_tol: float = 1e-3,
+    admm_precision: str = "highest",
 ) -> Stats:
     """Exact-FTL comparison mode (exact_ftl_driver.py:120-206): per
     scenario, solve all prefixes once (batched device ADMM + host
@@ -227,7 +228,8 @@ def evaluate_stream_exact(
     # (run, T) calls finish in a fraction of the iteration budget.
     prefix_solve = jax.jit(jax.vmap(
         lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm, iters=iters,
-                                          tol=2e-4)),
+                                          tol=2e-4,
+                                          precision=admm_precision)),
         static_argnums=())
 
     run_iter = range(runs)

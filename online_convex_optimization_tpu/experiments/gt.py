@@ -94,6 +94,7 @@ def estimate_g_exact(
     dtype=np.float64,
     cache_path: Optional[str] = None,
     progress: bool = True,
+    admm_precision: str = "highest",
 ) -> Dict[int, float]:
     """g(T) with the exact comparator (exact_ftl_driver.py:64-117):
     regret = FTRL cum_loss - loss of the exact full-sequence minimizer."""
@@ -120,7 +121,7 @@ def estimate_g_exact(
 
     solve = jax.jit(jax.vmap(
         lambda zz, yy: _admm_full(zz, yy, norm=norm, iters=iters,
-                                  tol=2e-4)))
+                                  tol=2e-4, precision=admm_precision)))
     T_max = max(int(t) for t in T_grid)
 
     for T in iterator:

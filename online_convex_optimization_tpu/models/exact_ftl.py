@@ -51,6 +51,20 @@ import jax.numpy as jnp
 # O(sqrt(T)*2^-8)).  Every contraction here pins Precision.HIGHEST.
 _HI = jax.lax.Precision.HIGHEST
 
+# Iterate-precision policy (static string so jit caches per mode):
+#   "highest" — f32-exact MXU passes (bf16x6), the parity-safe default;
+#   "high"    — bf16x3 (~1e-6 relative error), ~2x MXU throughput.  The
+#               ADMM fixed point shifts by O(1e-6), which the HIGHEST-
+#               precision residual check still measures honestly and the
+#               host active-set polish (models/polish.py, identification
+#               tolerances 1e-3..1e-5) absorbs: final objective accuracy
+#               is unchanged (~1e-9), only the iterates get cheaper.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 import numpy as np
 
 from online_convex_optimization_tpu.models.base import RunResult
@@ -79,7 +93,8 @@ def _soft_threshold(v: jnp.ndarray, kappa) -> jnp.ndarray:
     return jnp.sign(v) * jnp.maximum(jnp.abs(v) - kappa, 0.0)
 
 
-@partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol"))
+@partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol",
+                                   "precision"))
 def _admm_all_prefixes(
     z: jnp.ndarray,
     y: jnp.ndarray,
@@ -90,6 +105,7 @@ def _admm_all_prefixes(
     alpha: float = 1.7,
     tol: float = 0.0,
     check_every: int = 100,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Solve the exact-FTL program for every prefix length 1..T at once.
 
@@ -99,12 +115,15 @@ def _admm_all_prefixes(
         exits once EVERY prefix's residual is <= tol (checked every
         ``check_every`` iterations at the cost of one extra (T,T) matmul
         per check); ``iters`` remains the hard cap.
+      precision: MXU precision of the ITERATE matmuls (see _PRECISIONS);
+        residual checks always run at HIGHEST.
     Returns:
       X: (T, d) where X[p-1] minimizes the length-p prefix objective.
     """
     T, d = z.shape
     dtype = z.dtype
     project = _PROJECT[norm]
+    prec = _PRECISIONS[precision]
 
     # Prefix masks and cumulative Gram matrices (running sufficient stats).
     mask = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]).astype(dtype)  # (T, T), row p-1 selects i < p
@@ -124,9 +143,9 @@ def _admm_all_prefixes(
         X, S, U, W, V = state
         # x-step
         rhs = jnp.einsum("pt,td->pd", mask * (y[None, :] + S - U), z,
-                         precision=_HI) + (W - V)
+                         precision=prec) + (W - V)
         X = solve_x(rhs)
-        Q = jnp.matmul(X, z.T, precision=_HI)  # (T, T): Q[p-1, i] = <x_p, z_i>
+        Q = jnp.matmul(X, z.T, precision=prec)  # (T, T): Q[p-1, i] = <x_p, z_i>
         R = mask * (Q - y[None, :])                        # masked residuals
         # over-relaxation on the residual consensus
         R_hat = alpha * R + (1.0 - alpha) * S
@@ -172,9 +191,10 @@ def _admm_all_prefixes(
     return state[3], res
 
 
-@partial(jax.jit, static_argnames=("norm", "iters"))
+@partial(jax.jit, static_argnames=("norm", "iters", "precision"))
 def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
-                      rho: float = 1.0, alpha: float = 1.7):
+                      rho: float = 1.0, alpha: float = 1.7,
+                      precision: str = "highest"):
     """Warm-startable single solve over the masked prefix ``m`` (0/1,
     (T_max,)) — the device twin of the native runtime's iters_first /
     iters_warm split (native/oco_native.cpp) and of the reference's
@@ -190,15 +210,16 @@ def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
     dtype = z.dtype
     project = _PROJECT[norm]
     zm = m[:, None] * z
+    prec = _PRECISIONS[precision]
     A = jnp.matmul(zm.T, z, precision=_HI) + jnp.eye(d, dtype=dtype)
     chol = jnp.linalg.cholesky(A)
     kappa = 0.5 / rho
 
     def body(_, st):
         x, s, u, w, v = st
-        rhs = jnp.matmul(zm.T, y + s - u, precision=_HI) + (w - v)
+        rhs = jnp.matmul(zm.T, y + s - u, precision=prec) + (w - v)
         x = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        r = m * (jnp.matmul(z, x, precision=_HI) - y)
+        r = m * (jnp.matmul(z, x, precision=prec) - y)
         r_hat = alpha * r + (1.0 - alpha) * s
         s = _soft_threshold(r_hat + u, kappa) * m
         u = (u + r_hat - s) * m
@@ -214,25 +235,29 @@ def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
     return state, res
 
 
-@partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol"))
+@partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol",
+                                   "precision"))
 def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
                rho: float = 1.0, alpha: float = 1.7, tol: float = 0.0,
-               check_every: int = 100) -> jnp.ndarray:
+               check_every: int = 100,
+               precision: str = "highest") -> jnp.ndarray:
     """Single full-sequence solve (comparator oracle): cheaper state (one
     prefix), same splitting; ``tol`` > 0 enables residual-based early
-    stopping with ``iters`` as the hard cap."""
+    stopping with ``iters`` as the hard cap.  ``precision`` sets the
+    iterate-matmul MXU precision (residual checks stay HIGHEST)."""
     T, d = z.shape
     dtype = z.dtype
     project = _PROJECT[norm]
+    prec = _PRECISIONS[precision]
     A = jnp.matmul(z.T, z, precision=_HI) + jnp.eye(d, dtype=dtype)
     chol = jnp.linalg.cholesky(A)
     kappa = 0.5 / rho
 
     def body(_, state):
         x, s, u, w, v = state
-        rhs = jnp.matmul(z.T, y + s - u, precision=_HI) + (w - v)
+        rhs = jnp.matmul(z.T, y + s - u, precision=prec) + (w - v)
         x = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        r = jnp.matmul(z, x, precision=_HI) - y
+        r = jnp.matmul(z, x, precision=prec) - y
         r_hat = alpha * r + (1.0 - alpha) * s
         s = _soft_threshold(r_hat + u, kappa)
         u = u + r_hat - s
@@ -302,6 +327,9 @@ class ExactFTL:
     fail_tol: float = 1e-3
     on_fail: str = "raise"  # or "sentinel"
     stop_tol: float = 1e-5  # residual-based early exit; iters stays the cap
+    iter_precision: str = "highest"  # "high": ~2x faster MXU iterates; the
+    #   HIGHEST-precision residual check + host polish keep the final
+    #   objective at ~1e-9 either way (see _PRECISIONS)
 
     def __post_init__(self):
         self._z_buf = np.zeros((self.T_max, self.d))
@@ -348,14 +376,15 @@ class ExactFTL:
         state, res = _admm_masked_warm(
             jnp.asarray(self._z_buf), jnp.asarray(self._y_buf),
             jnp.asarray(m), self._state, norm=self.norm, iters=iters,
-            rho=self.rho, alpha=self.alpha)
+            rho=self.rho, alpha=self.alpha, precision=self.iter_precision)
         res_f = float(res)
         if res_f > self.fail_tol and iters < self.iters:
             # Escalate a hard prefix to a full-length refinement once.
             state, res = _admm_masked_warm(
                 jnp.asarray(self._z_buf), jnp.asarray(self._y_buf),
                 jnp.asarray(m), state, norm=self.norm, iters=self.iters,
-                rho=self.rho, alpha=self.alpha)
+                rho=self.rho, alpha=self.alpha,
+                precision=self.iter_precision)
             res_f = float(res)
         self._state = state
         self.last_info = {"residual": res_f, "iters": iters,
@@ -403,7 +432,8 @@ class ExactFTL:
             raise ValueError("sequence longer than T_max")
         X, res = _admm_all_prefixes(z, y, norm=self.norm, iters=self.iters,
                                     rho=self.rho, alpha=self.alpha,
-                                    tol=self.stop_tol)
+                                    tol=self.stop_tol,
+                                    precision=self.iter_precision)
         res_np = np.asarray(res)
         worst = float(res_np.max()) if res_np.size else 0.0
         self.last_info = {"residual": worst,
@@ -423,7 +453,8 @@ class ExactFTL:
         """Minimizer over the whole sequence (the exact comparator)."""
         x, res = _admm_full(jnp.asarray(z), jnp.asarray(y), norm=self.norm,
                             iters=self.iters, rho=self.rho, alpha=self.alpha,
-                            tol=self.stop_tol)
+                            tol=self.stop_tol,
+                            precision=self.iter_precision)
         res_f = float(res)
         self.last_info = {"residual": res_f}
         x = np.asarray(x, np.float64)

@@ -200,3 +200,39 @@ def test_bad_shapes_raise():
         solver.prefix_actions(z, y)  # longer than T_max
     with pytest.raises(ValueError):
         ExactFTL(d=3, T_max=20).prefix_actions(z, y)  # wrong d
+
+
+@pytest.mark.parametrize("norm", ["linf", "l2"])
+def test_fast_iter_precision_same_accuracy(norm):
+    """iter_precision="high" (bf16x3 MXU iterates on TPU) must not change
+    the POLISHED solution quality: the HIGHEST-precision residual check
+    plus the host active-set polish absorb the iterate noise.  On CPU the
+    precision flag is a no-op, so this asserts the wiring + the contract;
+    the TPU-gated twin below asserts the numerics on real hardware."""
+    z, y = _instance(T=50, seed=11)
+    ref = ExactFTL(d=5, T_max=50, norm=norm, iters=6000, rho=3.0)
+    fast = ExactFTL(d=5, T_max=50, norm=norm, iters=6000, rho=3.0,
+                    iter_precision="high")
+    a_ref = ref.prefix_actions(z, y)
+    a_fast = fast.prefix_actions(z, y)
+    for p in (1, 10, 25, 50):
+        assert _obj(z[:p], y[:p], a_fast[p]) <= \
+            _obj(z[:p], y[:p], a_ref[p]) + 1e-8, p
+    x_fast = fast.solve_full(z, y)
+    x_ref = ref.solve_full(z, y)
+    assert _obj(z, y, x_fast) == pytest.approx(_obj(z, y, x_ref), abs=1e-8)
+
+
+@pytest.mark.requires_tpu
+@pytest.mark.parametrize("norm", ["linf", "l1"])
+def test_fast_iter_precision_matches_highs_on_tpu(norm):
+    """On real TPU hardware, bf16x3 ADMM iterates + HIGHEST residuals +
+    host polish still reach the interior-point bar (1e-8 vs HiGHS)."""
+    z, y = _instance(T=40, seed=8)
+    solver = ExactFTL(d=5, T_max=40, norm=norm, iters=6000, rho=3.0,
+                      iter_precision="high")
+    actions = solver.prefix_actions(z, y)
+    for p in range(10, 41, 10):
+        obj_p = _obj(z[:p], y[:p], actions[p])
+        obj_lp = _obj(z[:p], y[:p], _lp_solve(z[:p], y[:p], norm))
+        assert obj_p <= obj_lp + 1e-8, p
