@@ -455,7 +455,8 @@ def eta_sweep_packed(z_pack, y_pack, eta_grid, *, chunk_t: int = 256,
 
 def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
                    theta_acc, w_acc, sc_acc, *, ct: int, d: int,
-                   nchunks: int, alg_flag: int, per_lane: bool, unroll: int):
+                   nchunks: int, alg_flag: int, per_lane: bool, unroll: int,
+                   dense: bool = False):
     """End-to-end regret kernel: game + comparator in ONE streaming pass.
 
     The comparator (final FTL action scored over the sequence,
@@ -485,6 +486,8 @@ def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
     (mixed-eta scenario batches at full speed); scaleh/s2 then hold
     -isqrt(t)/2 and 1/(4*max(1,t)) with eta folded in-kernel (+2 ops).
     sc_acc (2, S, lanes) packs [cum, cnt].
+    dense=True asserts y in {-1, +1} with NO zero padding: cnt == T
+    statically, dropping its two per-step ops.
     """
     chunk = pl.program_id(1)
 
@@ -524,7 +527,8 @@ def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
         cum = cum + diff * s          # == |q - y| (un-halved)
         theta2 = [theta2[j] + s * z_t[j] for j in range(d)]
         w = [w[j] + y_t * z_t[j] for j in range(d)]
-        cnt = cnt + y_t * y_t
+        if not dense:
+            cnt = cnt + y_t * y_t
         return theta2, w, cum, cnt
 
     def body(i, state):
@@ -548,17 +552,21 @@ def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
             nth = nth + theta_acc[j] * theta_acc[j]
             dotw = dotw + theta_acc[j] * w_acc[j]
         effC = _ftl_eff(nth)          # normalization: the 2x scale cancels
-        comp2 = sc_acc[1] - effC * dotw
+        if dense:
+            comp2 = float(ct * nchunks) - effC * dotw
+        else:
+            comp2 = sc_acc[1] - effC * dotw
         out_ref[:] = 0.5 * (sc_acc[0] - comp2)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("alg_flag", "chunk_t", "unroll",
-                                    "lanes_per_program", "interpret"))
+                                    "lanes_per_program", "interpret",
+                                    "dense"))
 def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
                   chunk_t: int = 256, unroll: int = 4,
                   lanes_per_program: int = 4 * LANES,
-                  interpret: bool = False):
+                  interpret: bool = False, dense: bool = False):
     """Fully fused regret evaluation: game + identity-based comparator in
     ONE single-pass kernel — the headline throughput path (see
     _regret_kernel for the op-level design).  Requires the framework data
@@ -568,6 +576,9 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
       z_pack: (T, d, S, B) f32/bf16; y_pack: (T, S, B).
       eta: scalar FTRL step scale, OR an (S, B) per-sequence eta array
         (FTRL only).  Ignored when alg_flag == 1 (FTL).
+      dense: caller guarantees y in {-1, +1} with no zero-padded rounds
+        (true for every full-horizon batch from the data builders);
+        the valid-round count then needs no carried statistic.
     Returns: (S, B) f32 regrets.
     """
     T, d, S, B = z_pack.shape
@@ -595,7 +606,8 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
         eta_specs = [pl.BlockSpec((S, lanes), lambda i, j, s1, s2: (0, i))]
 
     kernel = functools.partial(_regret_kernel, ct=ct, d=d, nchunks=nchunks,
-                               alg_flag=alg_flag, per_lane=per_lane, unroll=u)
+                               alg_flag=alg_flag, per_lane=per_lane, unroll=u,
+                               dense=dense)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # scaleh, s2
         grid=(nb, nchunks),

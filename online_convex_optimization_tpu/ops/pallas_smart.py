@@ -62,10 +62,19 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
     Scratch: th_acc (d,S,l) FTL theta2; w_acc (d,S,l) sum y z;
              thr_acc (d,S,l) FTRL theta2; sc_acc (6,S,l) packs
              [cnt, F(unhalved ftl loss), total(unhalved), a(0/1 switched),
-              tau, nth(FTL theta2 norm, carried across rounds)].
+              na(pre-switch round count; tau = na - a at finalize),
+              nth(FTL post-update ||theta2||^2, carried across rounds)].
+
+    Tail-op economy (the loop is VPU-issue-bound): the post-update norm
+    is recomputed DIRECTLY from the fresh theta2 (d mul + (d-1) add),
+    which beats the incremental nth + sF*(2*dotF + sF*||z||^2) update
+    (2d-1 ops for ||z||^2 plus 5) for every d, matches the scan's
+    rounding (models/smart.py computes ftl_action norms directly), and
+    keeps one carried scalar; the switch round is recovered from a
+    pre-switch round COUNTER (na += 1-a, two ops) instead of the masked
+    round-index blend (scalar int->float convert + three vector ops).
     """
     chunk = pl.program_id(1)
-    T_total = nchunks * ct
 
     @pl.when(chunk == 0)
     def _init():
@@ -73,14 +82,13 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
         w_acc[:] = jnp.zeros_like(w_acc)
         thr_acc[:] = jnp.zeros_like(thr_acc)
         sc_acc[:] = jnp.zeros_like(sc_acc)
-        sc_acc[4] = jnp.full_like(sc_acc[4], float(T_total))  # tau = T
 
     th2 = th2_ref[:]
     eta = eta_ref[:]
     eta2 = eta * eta
 
     def one(k, state):
-        th, w, thr, cnt, F, total, a, tau, nth = state
+        th, w, thr, cnt, F, total, a, na, nth = state
         z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
         y_t = y_ref[k].astype(jnp.float32)
         t_idx = chunk * ct + k
@@ -101,19 +109,17 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
         cnt = cnt + y_t * y_t
 
         # --- switch test on the POST-update action s_t ---
-        # nth' = nth + 2*sF*<theta2_pre, z> + sF^2*||z||^2; reuse dotF.
-        nz = z_t[0] * z_t[0]
-        for j in range(1, d):
-            nz = nz + z_t[j] * z_t[j]
-        nth = nth + sF * (2.0 * dotF + sF * nz)
+        # Post-update norm recomputed directly (cheaper than incremental
+        # for every d; rounding matches the scan's direct norms).
+        nth = th[0] * th[0]
         dotw = th[0] * w[0]
         for j in range(1, d):
+            nth = nth + th[j] * th[j]
             dotw = dotw + th[j] * w[j]
         effP = _ftl_eff(nth)
         lead2 = F - cnt + effP * dotw           # == 2 * (ftl_loss - s_loss)
         hit = (1.0 - a) * (lead2 >= th2).astype(jnp.float32)
-        t_f = (t_idx + jnp.zeros((), jnp.int32)).astype(jnp.float32)
-        tau = tau + hit * (t_f - tau)
+        na = na + (1.0 - a)                     # pre-switch round counter
 
         # --- FTRL track, gated on a (switched in an EARLIER round) ---
         dotR = z_t[0] * thr[0]
@@ -128,7 +134,7 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
         gR = a * sR
         thr = [thr[j] + gR * z_t[j] for j in range(d)]
         a = a + hit                              # switch applies NEXT round
-        return th, w, thr, cnt, F, total, a, tau, nth
+        return th, w, thr, cnt, F, total, a, na, nth
 
     def body(i, state):
         for u in range(unroll):
@@ -138,14 +144,14 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
     state0 = ([th_acc[j] for j in range(d)], [w_acc[j] for j in range(d)],
               [thr_acc[j] for j in range(d)], sc_acc[0], sc_acc[1],
               sc_acc[2], sc_acc[3], sc_acc[4], sc_acc[5])
-    th, w, thr, cnt, F, total, a, tau, nth = jax.lax.fori_loop(
+    th, w, thr, cnt, F, total, a, na, nth = jax.lax.fori_loop(
         0, ct // unroll, lambda i, s: body(i, s), state0)
     for j in range(d):
         th_acc[j] = th[j]
         w_acc[j] = w[j]
         thr_acc[j] = thr[j]
     sc_acc[0], sc_acc[1], sc_acc[2] = cnt, F, total
-    sc_acc[3], sc_acc[4], sc_acc[5] = a, tau, nth
+    sc_acc[3], sc_acc[4], sc_acc[5] = a, na, nth
 
     @pl.when(chunk == nchunks - 1)
     def _finalize():
@@ -156,7 +162,7 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
         effC = _ftl_eff(sc_acc[5])
         comp2 = sc_acc[0] - effC * dotw          # un-halved comparator loss
         out_ref[:] = 0.5 * (sc_acc[2] - comp2)
-        tau_ref[:] = sc_acc[4]
+        tau_ref[:] = sc_acc[4] - sc_acc[3]       # tau = na - a (T if never)
 
 
 @functools.partial(jax.jit,

@@ -252,3 +252,21 @@ def test_v2_generalizes_d8_and_odd_T():
             dtype=np.float32)
         np.testing.assert_allclose(got, want, atol=5e-4,
                                    err_msg=f"d={d} T={T}")
+
+
+def test_regrets_fused_dense_interpret_matches_scan():
+    """dense=True (cnt == T statically; requires full-horizon ±1 labels —
+    true for every data builder batch) must agree with the general kernel
+    and the scan.  Lane padding is fine (padded lanes are sliced off);
+    only TIME padding is excluded by the contract."""
+    from online_convex_optimization_tpu.ops.pallas_game import regrets_fused
+    z, y = _batch(B=SEQ_TILE, T=32, seed=13)
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    got = np.asarray(unpack_result(
+        regrets_fused(z_pack, y_pack, 1.3, dense=True, interpret=True), B))
+    general = np.asarray(unpack_result(
+        regrets_fused(z_pack, y_pack, 1.3, interpret=True), B))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            0, 1.3).regret, dtype=np.float32)
+    np.testing.assert_allclose(got, general, atol=1e-6)
+    np.testing.assert_allclose(got, want, atol=5e-4)
