@@ -207,6 +207,43 @@ def main():
                         "note": "T=2^20, B=1024, device-generated chunks, "
                                 "mid-run carry checkpoint round-trip"})
 
+        # Kernel-speed streaming: carry-in/carry-out Pallas chunks with the
+        # replay-free identity comparator (models/streaming.py::
+        # StreamingKernelGame).  One device-resident bf16 chunk is re-fed
+        # with an advancing round offset — this measures the streaming
+        # ADVANCE path (per-feed dispatch + kernel), not data generation.
+        from online_convex_optimization_tpu.models.streaming import (
+            StreamingKernelGame)
+
+        LB_k, CT_k, N_k = 1024, 8192, 128            # T = 2^20
+        zc, yc = random_packed_batch(jax.random.key(3), CT_k, LB_k,
+                                     dtype=jnp.bfloat16)
+        S_k = zc.shape[2]
+        game = StreamingKernelGame(S_k * LB_k, 5, alg_flag=0,
+                                   eta0=np.sqrt(2.0))
+        game.feed_packed(zc, yc)                     # compile + warm
+        np.asarray(game.carry[2])
+
+        game = StreamingKernelGame(S_k * LB_k, 5, alg_flag=0,
+                                   eta0=np.sqrt(2.0))
+        t0 = time.perf_counter()
+        for i in range(N_k):
+            game.feed_packed(zc, yc)
+            if i == N_k // 2:                        # mid-run checkpoint
+                save_pytree("/tmp/stream_kcarry.npz", game.carry_state())
+                game.resume(load_pytree("/tmp/stream_kcarry.npz",
+                                        game.carry_state()))
+        reg = np.asarray(game.result().regret)       # host fetch fence
+        secs = time.perf_counter() - t0
+        assert np.isfinite(reg).all()
+        records.append({"metric": "streaming_kernel_T1M_steps_per_s",
+                        "value": S_k * LB_k * CT_k * N_k / secs,
+                        "unit": "steps/s",
+                        "note": "T=2^20, 16384 seqs, Pallas carry chunks, "
+                                "replay-free identity comparator, mid-run "
+                                "checkpoint round-trip"})
+        del zc, yc
+
     # --- xla scan / smart / sweep / exact (any backend) ---
     B, T = (256, 256) if small else (8192, 1024)
     z = rng.standard_normal((B, T, 5)).astype(np.float32)

@@ -635,6 +635,188 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
     return out
 
 
+def _stream_kernel(scaleh_ref, s2_ref, th_in, w_in, sc_in, z_ref, y_ref,
+                   th_out, w_out, sc_out, theta_acc, w_acc, sc_acc, *,
+                   ct: int, d: int, nchunks: int, alg_flag: int,
+                   unroll: int):
+    """Carry-in/carry-out game chunk: advance (theta2, w, cum, cnt) over a
+    (T_chunk, ...) packed block at fused-kernel speed.
+
+    This is the streaming (long-horizon) twin of _regret_kernel: instead
+    of starting from zeros and finalizing a regret, the state enters via
+    the ``*_in`` refs and leaves via ``*_out`` — so horizons beyond HBM
+    stream through repeated launches with an O(B d) carry, and the hinge-
+    identity statistics (w, cnt) carried alongside make the comparator an
+    O(d) epilogue with NO replay pass over the data (see stream_result).
+    scaleh (T_chunk,) SMEM holds -eta/(2*sqrt(t)) with the GLOBAL round
+    index t baked in by the caller; s2 holds eta^2/(4*max(1,t)).
+    sc rows pack [cum, cnt].
+    """
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        theta_acc[:] = th_in[:]
+        w_acc[:] = w_in[:]
+        sc_acc[:] = sc_in[:]
+
+    def one(k, state):
+        theta2, w, cum, cnt = state
+        z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
+        y_t = y_ref[k].astype(jnp.float32)
+        dotz2 = z_t[0] * theta2[0]
+        nth2 = theta2[0] * theta2[0]
+        for j in range(1, d):
+            dotz2 = dotz2 + z_t[j] * theta2[j]
+            nth2 = nth2 + theta2[j] * theta2[j]
+        t_idx = chunk * ct + k
+        if alg_flag == 0:
+            clip = jax.lax.rsqrt(jnp.maximum(s2_ref[t_idx] * nth2, 1.0))
+            diff = (scaleh_ref[t_idx] * clip) * dotz2 - y_t
+        else:
+            diff = _ftl_eff(nth2) * dotz2 - y_t
+        s = jnp.sign(diff)
+        cum = cum + diff * s
+        theta2 = [theta2[j] + s * z_t[j] for j in range(d)]
+        w = [w[j] + y_t * z_t[j] for j in range(d)]
+        cnt = cnt + y_t * y_t
+        return theta2, w, cum, cnt
+
+    def body(i, state):
+        for u in range(unroll):
+            state = one(i * unroll + u, state)
+        return state
+
+    state0 = ([theta_acc[j] for j in range(d)], [w_acc[j] for j in range(d)],
+              sc_acc[0], sc_acc[1])
+    theta2, w, cum, cnt = jax.lax.fori_loop(0, ct // unroll, body, state0)
+    for j in range(d):
+        theta_acc[j] = theta2[j]
+        w_acc[j] = w[j]
+    sc_acc[0], sc_acc[1] = cum, cnt
+
+    @pl.when(chunk == nchunks - 1)
+    def _flush():
+        th_out[:] = theta_acc[:]
+        w_out[:] = w_acc[:]
+        sc_out[:] = sc_acc[:]
+
+
+def zero_stream_carry(B: int, d: int, S: int):
+    """Fresh carry for ``play_packed_stream``: (theta2, w, [cum, cnt]) in
+    packed lane layout (theta2 = 2*theta, losses un-halved — the kernels'
+    internal conventions; ``stream_result`` undoes both)."""
+    return (jnp.zeros((d, S, B), jnp.float32),
+            jnp.zeros((d, S, B), jnp.float32),
+            jnp.zeros((2, S, B), jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("alg_flag", "chunk_t", "unroll",
+                                    "lanes_per_program", "interpret"))
+def play_packed_stream(z_pack, y_pack, eta, t0, carry, *, alg_flag: int = 0,
+                       chunk_t: int = 256, unroll: int = 4,
+                       lanes_per_program: int = 4 * LANES,
+                       interpret: bool = False):
+    """Advance the streamed game over one packed time chunk.
+
+    Args:
+      z_pack: (T_chunk, d, S, B) f32/bf16; y_pack: (T_chunk, S, B).
+      eta: scalar FTRL step scale (ignored for alg_flag=1).
+      t0: number of rounds already played (traced scalar OK) — the global
+        round index of row k is t0 + k + 1.
+      carry: (theta2 (d,S,B), w (d,S,B), sc (2,S,B) [cum, cnt]) from
+        ``zero_stream_carry`` or a previous call.
+    Returns: the advanced carry (same structure).
+    """
+    T, d, S, B = z_pack.shape
+    assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
+    th_in, w_in, sc_in = carry
+    lanes, ct, u, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, unroll,
+        sublanes=S, itemsize=z_pack.dtype.itemsize)
+
+    eta_arr = jnp.asarray(eta, jnp.float32)
+    t = jnp.arange(1, T + 1, dtype=jnp.float32) + jnp.asarray(t0, jnp.float32)
+    scaleh = (-0.5 * eta_arr) * jax.lax.rsqrt(jnp.maximum(t, 1.0))
+    s2 = (0.25 * eta_arr * eta_arr) / jnp.maximum(t, 1.0)
+
+    kernel = functools.partial(_stream_kernel, ct=ct, d=d, nchunks=nchunks,
+                               alg_flag=alg_flag, unroll=u)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # scaleh, s2
+        grid=(nb, nchunks),
+        in_specs=[
+            pl.BlockSpec((d, S, lanes), lambda i, j, s1, s2: (0, 0, i)),
+            pl.BlockSpec((d, S, lanes), lambda i, j, s1, s2: (0, 0, i)),
+            pl.BlockSpec((2, S, lanes), lambda i, j, s1, s2: (0, 0, i)),
+            pl.BlockSpec((ct, d, S, lanes),
+                         lambda i, j, s1, s2: (j, 0, 0, i)),
+            pl.BlockSpec((ct, S, lanes), lambda i, j, s1, s2: (j, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((d, S, lanes), lambda i, j, s1, s2: (0, 0, i)),
+            pl.BlockSpec((d, S, lanes), lambda i, j, s1, s2: (0, 0, i)),
+            pl.BlockSpec((2, S, lanes), lambda i, j, s1, s2: (0, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, S, lanes), jnp.float32),
+            pltpu.VMEM((d, S, lanes), jnp.float32),
+            pltpu.VMEM((2, S, lanes), jnp.float32),
+        ],
+    )
+    th, w, sc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((d, S, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, S, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, S, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scaleh, s2, th_in, w_in, sc_in, z_pack, y_pack)
+    return th, w, sc
+
+
+@jax.jit
+def stream_result(carry):
+    """Regret + decomposition from a streamed carry via the hinge identity
+    — no replay pass.  Returns (regret, cum_loss, comp_loss), each (S, B)
+    f32 (halved back to reference scale)."""
+    theta2, w, sc = carry
+    nth = jnp.sum(theta2 * theta2, axis=0)
+    dotw = jnp.sum(theta2 * w, axis=0)
+    eff = jnp.where(nth > 0.0, -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+    comp2 = sc[1] - eff * dotw
+    cum = 0.5 * sc[0]
+    comp = 0.5 * comp2
+    return cum - comp, cum, comp
+
+
+def pack_time_major(z_chunk, y_chunk, dtype=jnp.float32):
+    """Time-major (CT, B, d) / (CT, B) chunk -> packed kernel layout
+    ((CT, d, S, B'), (CT, S, B')); B is padded to a full lane tile with
+    inert zero rows.  Sequence order matches ``pack_sequences``."""
+    z = jnp.asarray(z_chunk)
+    y = jnp.asarray(y_chunk)
+    CT, B, d = z.shape
+    S = sublanes_for(dtype)
+    seq_tile = LANES * S
+    pad_b = (-B) % seq_tile
+    z = jnp.pad(z.astype(dtype), ((0, 0), (0, pad_b), (0, 0)))
+    y = jnp.pad(y.astype(dtype), ((0, 0), (0, pad_b)))
+    nb = (B + pad_b) // seq_tile
+    z_pack = (z.reshape(CT, nb, S, LANES, d)
+               .transpose(0, 4, 2, 1, 3)
+               .reshape(CT, d, S, nb * LANES))
+    y_pack = (y.reshape(CT, nb, S, LANES)
+               .transpose(0, 2, 1, 3)
+               .reshape(CT, S, nb * LANES))
+    return z_pack, y_pack
+
+
 def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
                       cum_acc, z_buf, y_buf, *, ct: int, d: int,
                       nchunks: int, alg_flag: int, unroll: int):

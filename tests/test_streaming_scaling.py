@@ -106,3 +106,59 @@ def test_scaling_harness_virtual_mesh():
     assert [p.n_devices for p in points] == [1, 2, 4]
     assert all(p.steps_per_s > 0 for p in points)
     assert points[0].efficiency == 1.0
+
+
+def _contract_batch(B, T, d=5, seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0).astype(np.float32)
+    return z, y
+
+
+@pytest.mark.parametrize("alg_flag", [0, 1])
+def test_streaming_kernel_matches_scan(alg_flag):
+    """Kernel streaming (carry-in/carry-out Pallas chunks, replay-free
+    identity comparator) == batched scan regrets."""
+    from online_convex_optimization_tpu.models.streaming import (
+        StreamingKernelGame)
+    B, T, d = 64, 96, 5
+    z, y = _contract_batch(B, T, d, seed=21)
+    game = StreamingKernelGame(B, d, alg_flag=alg_flag, eta0=1.3,
+                               interpret=True)
+    ztm, ytm = z.transpose(1, 0, 2), y.T
+    for c in range(0, T, 32):
+        game.feed(ztm[c:c + 32], ytm[c:c + 32])
+    got = game.result()
+    want = simulate_linear_batch(jnp.asarray(z), jnp.asarray(y), alg_flag,
+                                 1.3)
+    np.testing.assert_allclose(np.asarray(got.regret),
+                               np.asarray(want.regret), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.cum_loss),
+                               np.asarray(want.cum_loss), atol=5e-4)
+
+
+def test_streaming_kernel_checkpoint_resume():
+    """Serialize the O(B d) carry mid-stream; resumed == uninterrupted."""
+    from online_convex_optimization_tpu.models.streaming import (
+        StreamingKernelGame)
+    B, T, d = 64, 128, 5
+    z, y = _contract_batch(B, T, d, seed=22)
+    ztm, ytm = z.transpose(1, 0, 2), y.T
+
+    full = StreamingKernelGame(B, d, eta0=0.9, interpret=True)
+    for c in range(0, T, 32):
+        full.feed(ztm[c:c + 32], ytm[c:c + 32])
+
+    first = StreamingKernelGame(B, d, eta0=0.9, interpret=True)
+    for c in range(0, 64, 32):
+        first.feed(ztm[c:c + 32], ytm[c:c + 32])
+    saved = first.carry_state()
+
+    second = StreamingKernelGame(B, d, eta0=0.9, interpret=True)
+    second.resume({k: np.array(v) for k, v in saved.items()})
+    for c in range(64, T, 32):
+        second.feed(ztm[c:c + 32], ytm[c:c + 32])
+
+    np.testing.assert_array_equal(np.asarray(second.result().regret),
+                                  np.asarray(full.result().regret))
