@@ -134,15 +134,16 @@ def main():
         # Generation-fused mode: sequences born in VMEM from the on-core
         # PRNG, zero HBM data traffic, single pass.
         @functools.partial(jax.jit, static_argnames=("k",))
-        def run_syn(sc, *, k):
+        def run_syn(eta, *, k):
             def body(i, acc):
                 return acc + synthetic_regrets(
-                    i, sc * (1.0 + 1e-6 * i.astype(jnp.float32)),
+                    i, eta * (1.0 + 1e-6 * i.astype(jnp.float32)),
                     T=T, lane_batch=LB)
             return jax.lax.fori_loop(0, k, body,
                                      jnp.zeros((8, LB), jnp.float32))
 
-        secs = _fetch_time(lambda: run_syn(scales, k=K)) / K
+        secs = _fetch_time(lambda: run_syn(jnp.float32(np.sqrt(2.0)),
+                                           k=K)) / K
         records.append({"metric": "pallas_synthetic_steps_per_s",
                         "value": 8 * LB * T / secs, "unit": "steps/s",
                         "note": "in-kernel PRNG data generation"})

@@ -817,7 +817,7 @@ def pack_time_major(z_chunk, y_chunk, dtype=jnp.float32):
     return z_pack, y_pack
 
 
-def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
+def _synthetic_kernel(eta_ref, seed_ref, out_ref, theta_acc, w_acc,
                       cum_acc, z_buf, y_buf, *, ct: int, d: int,
                       nchunks: int, alg_flag: int, unroll: int):
     """Self-generating game: z, y are drawn from the on-core PRNG chunk by
@@ -826,6 +826,12 @@ def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
     and no regeneration pass: the comparator is scored via the hinge
     identity from the carried w = sum y_t z_t (labels are exactly ±1 here,
     so cnt == T statically; see ops/pallas_smart.py for the identity).
+
+    The FTRL step scale is computed IN-KERNEL from the round index
+    (scale = -eta * rsqrt(t), one scalar-unit rsqrt per step) instead of a
+    prefetched (T,) SMEM table — nothing in the launch scales with T, so
+    a single launch runs ARBITRARY horizons (T = 2^20+) at fixed VMEM.
+    eta (1,) SMEM; seed (1,) SMEM.
     """
     i = pl.program_id(0)
     chunk = pl.program_id(1)
@@ -837,6 +843,7 @@ def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
         cum_acc[:] = jnp.zeros_like(cum_acc)
 
     pltpu.prng_seed(seed_ref[0] + i * nchunks + chunk)
+    neg_eta = -eta_ref[0]
     inv_sqrt_d = 1.0 / float(np.sqrt(d))
     zb = pltpu.prng_random_bits(z_buf.shape)
     z_buf[:] = jnp.where((zb & 1) == 1, inv_sqrt_d, -inv_sqrt_d)
@@ -848,7 +855,9 @@ def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
         z_t = [z_buf[k, jj] for jj in range(d)]
         y_t = y_buf[k]
         if alg_flag == 0:
-            eff_fn = functools.partial(_ftrl_eff, scale_ref[chunk * ct + k])
+            t_f = (chunk * ct + k + 1).astype(jnp.float32)
+            scale = neg_eta * jax.lax.rsqrt(t_f)
+            eff_fn = functools.partial(_ftrl_eff, scale)
         else:
             eff_fn = _ftl_eff
         theta, cum = _play_step(z_t, y_t, theta, cum, eff_fn)
@@ -884,7 +893,7 @@ def _synthetic_kernel(scale_ref, seed_ref, out_ref, theta_acc, w_acc,
                    static_argnames=("T", "lane_batch", "d", "alg_flag",
                                     "chunk_t", "unroll", "lanes_per_program",
                                     "interpret"))
-def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
+def synthetic_regrets(seed, eta0, *, T: int, lane_batch: int, d: int = 5,
                       alg_flag: int = 0, chunk_t: int = 256, unroll: int = 4,
                       lanes_per_program: int = 4 * LANES,
                       interpret: bool = False):
@@ -892,7 +901,10 @@ def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
     HBM for data — the per-chip speed-of-light mode, and the generation
     strategy for pod-scale sweeps (each device owns disjoint seeds).
 
-    Returns (8, lane_batch) regrets for 8 * lane_batch sequences.
+    ``eta0`` is the FTRL step size (scalar; the per-round scale is derived
+    in-kernel, so nothing in the launch scales with T — T = 2^20 runs as
+    ONE launch).  Returns (8, lane_batch) regrets for 8 * lane_batch
+    sequences.
     """
     B = lane_batch
     lanes, ct, u, nchunks, nb = _choose_tiles(
@@ -901,8 +913,9 @@ def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
     kernel = functools.partial(_synthetic_kernel, ct=ct, d=d,
                                nchunks=nchunks, alg_flag=alg_flag, unroll=u)
     seed_arr = jnp.asarray([seed], jnp.int32)
+    eta_arr = jnp.asarray([eta0], jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # scales, seed
+        num_scalar_prefetch=2,  # eta, seed
         grid=(nb, nchunks),
         in_specs=[],
         out_specs=pl.BlockSpec((SUBLANES, lanes), lambda i, j, s1, s2: (0, i)),
@@ -921,7 +934,7 @@ def synthetic_regrets(seed, scales, *, T: int, lane_batch: int, d: int = 5,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(scales, seed_arr)
+    )(eta_arr, seed_arr)
     return out
 
 
