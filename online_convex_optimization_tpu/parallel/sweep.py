@@ -161,6 +161,35 @@ def sharded_smart_pallas(mesh: Mesh, z_pack, y_pack, thresh_pack, eta_pack,
     return run(z_pack, y_pack, thresh_pack, eta_pack)
 
 
+def sharded_stream_step(mesh: Mesh, z_pack, y_pack, eta, t0, carry, *,
+                        alg_flag: int = 0, interpret: bool = False):
+    """One streaming advance (ops/pallas_game.py::play_packed_stream) under
+    ``shard_map``: lanes AND the O(B d) carry shard across the whole mesh,
+    so arbitrary-horizon streams run data-parallel with zero collectives on
+    the hot path (the carry never leaves its device).  Finalize with
+    ``ops.pallas_game.stream_result`` — elementwise over lanes, so it runs
+    directly on the sharded carry.
+    """
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        play_packed_stream)
+
+    B = y_pack.shape[2]
+    assert B % (128 * mesh.size) == 0, (B, mesh.size)
+    carry_specs = (P(None, None, _BOTH), P(None, None, _BOTH),
+                   P(None, None, _BOTH))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, None, _BOTH),
+                       P(None, None, _BOTH)) + carry_specs,
+             out_specs=carry_specs, check_vma=False)
+    def run(z_loc, y_loc, th_loc, w_loc, sc_loc):
+        return play_packed_stream(z_loc, y_loc, eta, t0,
+                                  (th_loc, w_loc, sc_loc),
+                                  alg_flag=alg_flag, interpret=interpret)
+
+    return run(z_pack, y_pack, *carry)
+
+
 def mean_and_ci(stats, z_value: float = 1.96):
     """mean +- z * SEM from (n, sum, sum_sq) sufficient statistics.
 

@@ -175,3 +175,32 @@ def test_sharded_reductions_contain_nonfinite_scenarios():
     stats = sharded_regret_stats(mesh, jnp.asarray(z), y, 0, 1.2)
     n, s, ss = (float(v) for v in np.asarray(stats))
     assert n == B - 1 and np.isfinite(s) and np.isfinite(ss)
+
+
+def test_sharded_stream_step_matches_unsharded():
+    """Streaming carry chunks under shard_map == the local streaming kernel
+    (carry stays device-local; zero collectives on the hot path)."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_time_major, play_packed_stream, stream_result,
+        zero_stream_carry)
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_stream_step)
+
+    n = len(jax.devices())
+    B, T, d = 1024 * n, 64, 5       # 128 packed lanes per device (f32)
+    z, y = _batch(B, T=T, seed=17)
+    ztm = np.asarray(z).transpose(1, 0, 2)
+    ytm = np.asarray(y).T
+    mesh = make_mesh(n, 1)
+
+    carry_sh = zero_stream_carry(B, d, 8)
+    carry_lo = zero_stream_carry(B, d, 8)
+    for c in range(0, T, 32):
+        zc, yc = pack_time_major(ztm[c:c + 32], ytm[c:c + 32])
+        carry_sh = sharded_stream_step(mesh, zc, yc, 1.2, c, carry_sh,
+                                       interpret=True)
+        carry_lo = play_packed_stream(zc, yc, 1.2, c, carry_lo,
+                                      interpret=True)
+    got = np.asarray(stream_result(carry_sh)[0])
+    want = np.asarray(stream_result(carry_lo)[0])
+    np.testing.assert_allclose(got, want, atol=1e-6)
