@@ -80,10 +80,35 @@ def ftrl_eta_sweep(z, y, eta_grid, *, alg_flag: int = 0,
 
 
 def smart_threshold_sweep(z, y, thresh_grid, *, eta0: float,
-                          length: Optional[np.ndarray] = None) -> jnp.ndarray:
-    """Regret of every (sequence, theta_thresh) pair -> (B, G)."""
+                          length: Optional[np.ndarray] = None,
+                          use_kernel: Union[str, bool] = "auto",
+                          interpret: bool = False) -> jnp.ndarray:
+    """Regret of every (sequence, theta_thresh) pair -> (B, G).
+
+    The kernel path (auto on TPU) runs the grid as a Pallas grid
+    dimension (ops/pallas_smart.py::smart_sweep_packed): the G-point
+    tuning sweep re-streams the same packed blocks — no BxG data
+    duplication, unlike the scan cross product below.
+    """
     z = jnp.asarray(z)
     y = jnp.asarray(y)
+    if use_kernel == "auto":
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            LANES, pack_sequences)
+        from online_convex_optimization_tpu.ops.pallas_smart import (
+            smart_sweep_packed)
+        zm, ym = _mask_tails(z, y, length)
+        z_pack, y_pack, B = pack_sequences(zm, ym)
+        reg, _ = smart_sweep_packed(z_pack, y_pack,
+                                    jnp.asarray(thresh_grid, jnp.float32),
+                                    float(eta0), interpret=interpret)
+        G, S, BL = reg.shape
+        nb = BL // LANES
+        out = (reg.reshape(G, S, nb, LANES).transpose(0, 2, 1, 3)
+                  .reshape(G, nb * S * LANES)[:, :B])
+        return out.T                                          # (B, G)
     thresh_grid = jnp.asarray(thresh_grid, z.dtype)
     G = thresh_grid.shape[0]
     z_rep, y_rep, B = _cross(z, y, G)

@@ -15,14 +15,19 @@ from online_convex_optimization_tpu.ops.pallas_game import (
     eta_sweep_packed,
     pack_per_seq,
     pack_sequences,
+    pack_time_major,
+    play_packed_stream,
     regrets_fused,
     simulate_linear_pallas_v2,
+    stream_result,
     synthetic_regrets,
     unpack_result,
+    zero_stream_carry,
 )
 from online_convex_optimization_tpu.ops.pallas_smart import (
     simulate_smart_pallas,
     smart_regrets_packed,
+    smart_sweep_packed,
 )
 
 __all__ = [
@@ -42,4 +47,9 @@ __all__ = [
     "unpack_result",
     "simulate_smart_pallas",
     "smart_regrets_packed",
+    "smart_sweep_packed",
+    "pack_time_major",
+    "play_packed_stream",
+    "stream_result",
+    "zero_stream_carry",
 ]

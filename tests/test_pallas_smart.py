@@ -115,3 +115,44 @@ def test_smart_kernel_immediate_switch_and_extremes():
                                    err_msg=f"thresh={thresh} eta={eta}")
         np.testing.assert_array_equal(np.asarray(got_t),
                                       np.asarray(want.switch_t))
+
+
+def test_smart_sweep_kernel_interpret_matches_per_lane():
+    """Threshold grid as a kernel grid dimension == the per-lane kernel on
+    the cross product (no data duplication in the sweep kernel)."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_per_seq, pack_sequences, unpack_result)
+    from online_convex_optimization_tpu.ops.pallas_smart import (
+        smart_regrets_packed, smart_sweep_packed)
+
+    z, y = _batch(B=SEQ_TILE, T=40, seed=9)
+    grid = np.asarray([0.75, 2.0, 6.0, 1e9], np.float32)
+    eta0 = 1.2
+    z_pack, y_pack, B = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    S = z_pack.shape[2]
+    reg, tau = smart_sweep_packed(z_pack, y_pack, jnp.asarray(grid), eta0,
+                                  interpret=True)
+    for gi, th in enumerate(grid):
+        want_r, want_t = smart_regrets_packed(
+            z_pack, y_pack,
+            pack_per_seq(jnp.full((B,), th), S),
+            pack_per_seq(jnp.full((B,), eta0), S), interpret=True)
+        np.testing.assert_allclose(np.asarray(reg[gi]), np.asarray(want_r),
+                                   atol=1e-5, err_msg=f"grid[{gi}]")
+        np.testing.assert_array_equal(np.asarray(tau[gi]),
+                                      np.asarray(want_t))
+
+
+def test_smart_threshold_sweep_api_kernel_matches_scan():
+    """Public sweep API: kernel path == scan path on the same grid."""
+    from online_convex_optimization_tpu.models.sweep_api import (
+        smart_threshold_sweep)
+
+    z, y = _batch(B=SEQ_TILE, T=32, seed=10)
+    grid = np.asarray([0.6, 3.0, 50.0], np.float32)
+    got = np.asarray(smart_threshold_sweep(z, y, grid, eta0=1.1,
+                                           use_kernel=True, interpret=True))
+    want = np.asarray(smart_threshold_sweep(z, y, grid, eta0=1.1,
+                                            use_kernel=False))
+    assert got.shape == want.shape == (SEQ_TILE, 3)
+    np.testing.assert_allclose(got, want, atol=5e-4)
