@@ -151,7 +151,8 @@ class StreamingKernelGame:
     """
 
     def __init__(self, B: int, d: int, *, alg_flag: int = 0, eta0=1.0,
-                 dtype=jnp.float32, interpret: bool = False):
+                 dtype=jnp.float32, interpret: bool = False,
+                 validate: bool = False):
         from online_convex_optimization_tpu.ops.pallas_game import (
             sublanes_for, zero_stream_carry)
         self.B, self.d = B, d
@@ -159,6 +160,7 @@ class StreamingKernelGame:
         self.eta0 = float(eta0)
         self.dtype = dtype
         self.interpret = interpret
+        self.validate = validate
         S = sublanes_for(dtype)
         seq_tile = 128 * S
         self._Bp = B + ((-B) % seq_tile)
@@ -169,7 +171,8 @@ class StreamingKernelGame:
     def feed(self, z_chunk, y_chunk) -> None:
         from online_convex_optimization_tpu.ops.pallas_game import (
             pack_time_major, play_packed_stream)
-        z_pack, y_pack = pack_time_major(z_chunk, y_chunk, self.dtype)
+        z_pack, y_pack = pack_time_major(z_chunk, y_chunk, self.dtype,
+                                         validate=self.validate)
         self.carry = play_packed_stream(
             z_pack, y_pack, self.eta0, self.t, self.carry,
             alg_flag=self.alg_flag, interpret=self.interpret)
@@ -185,17 +188,28 @@ class StreamingKernelGame:
             alg_flag=self.alg_flag, interpret=self.interpret)
         self.t += int(z_pack.shape[0])
 
+    def comparator_action(self) -> jnp.ndarray:
+        """Final FTL action per sequence, (B, d) — same comparator the
+        scan path exposes (StreamingGame.comparator_action)."""
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            unpack_result)
+        theta2 = self.carry[0]                       # (d, S, B')
+        nth = jnp.sum(theta2 * theta2, axis=0)
+        eff = jnp.where(nth > 0.0,
+                        -jax.lax.rsqrt(jnp.maximum(nth, 1e-30)), 0.0)
+        x_pack = eff[None] * theta2                  # (d, S, B')
+        cols = [unpack_result(x_pack[j], self.B) for j in range(self.d)]
+        return jnp.stack(cols, axis=-1)              # (B, d)
+
     def result(self) -> RunResult:
         from online_convex_optimization_tpu.ops.pallas_game import (
             stream_result, unpack_result)
         regret, cum, comp = stream_result(self.carry)
-        theta2 = self.carry[0]
-        x_last = None  # packed theta is internal; expose via carry_state
         return RunResult(
             cum_loss=unpack_result(cum, self.B),
             regret=unpack_result(regret, self.B),
             comp_loss=unpack_result(comp, self.B),
-            x_last=x_last)
+            x_last=self.comparator_action())
 
     # ---- checkpoint/resume (tiny O(B d) carry) ----
     def carry_state(self) -> dict:

@@ -795,13 +795,27 @@ def stream_result(carry):
     return cum - comp, cum, comp
 
 
-def pack_time_major(z_chunk, y_chunk, dtype=jnp.float32):
+def pack_time_major(z_chunk, y_chunk, dtype=jnp.float32,
+                    *, validate: bool = False):
     """Time-major (CT, B, d) / (CT, B) chunk -> packed kernel layout
     ((CT, d, S, B'), (CT, S, B')); B is padded to a full lane tile with
-    inert zero rows.  Sequence order matches ``pack_sequences``."""
+    inert zero rows.  Sequence order matches ``pack_sequences``.
+    ``validate=True`` enforces the identity-kernel data contract
+    (||z_t||_2 <= 1 per row, y in {-1, 0, +1}) like ``pack_sequences``
+    — external streams violating it would corrupt the carried
+    comparator statistics silently.  Costs a device sync."""
     z = jnp.asarray(z_chunk)
     y = jnp.asarray(y_chunk)
     CT, B, d = z.shape
+    if validate:
+        max_norm = float(jnp.max(jnp.sum(z * z, axis=-1)))
+        if max_norm > 1.0 + 1e-5:
+            raise ValueError(
+                f"rows must lie in the unit L2 ball (max ||z||^2 = "
+                f"{max_norm:.6f}); clip rows like the data builders do")
+        bad_y = float(jnp.max(jnp.abs(y * y * y - y)))
+        if bad_y > 1e-6:
+            raise ValueError("labels must be in {-1, 0, +1}")
     S = sublanes_for(dtype)
     seq_tile = LANES * S
     pad_b = (-B) % seq_tile

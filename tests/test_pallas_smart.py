@@ -156,3 +156,20 @@ def test_smart_threshold_sweep_api_kernel_matches_scan():
                                             use_kernel=False))
     assert got.shape == want.shape == (SEQ_TILE, 3)
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_smart_sweep_kernel_d8_interpret():
+    """Sweep kernel generality at d=8 vs the scan on every grid point."""
+    from online_convex_optimization_tpu.models.sweep_api import (
+        smart_threshold_sweep)
+    rng = np.random.default_rng(12)
+    B, T, d = SEQ_TILE, 32, 8
+    z = rng.normal(size=(B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0).astype(np.float32)
+    grid = np.asarray([0.8, 4.0], np.float32)
+    got = np.asarray(smart_threshold_sweep(z, y, grid, eta0=1.0,
+                                           use_kernel=True, interpret=True))
+    want = np.asarray(smart_threshold_sweep(z, y, grid, eta0=1.0,
+                                            use_kernel=False))
+    np.testing.assert_allclose(got, want, atol=5e-4)

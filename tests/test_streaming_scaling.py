@@ -162,3 +162,45 @@ def test_streaming_kernel_checkpoint_resume():
 
     np.testing.assert_array_equal(np.asarray(second.result().regret),
                                   np.asarray(full.result().regret))
+
+
+def test_streaming_kernel_result_x_last_and_validation():
+    """result().x_last is the final FTL comparator action (scan-path
+    semantics); validate=True rejects contract-violating chunks."""
+    from online_convex_optimization_tpu.models.streaming import (
+        StreamingGame, StreamingKernelGame)
+    B, T, d = 64, 64, 5
+    z, y = _contract_batch(B, T, d, seed=23)
+    ztm, ytm = z.transpose(1, 0, 2), y.T
+
+    kg = StreamingKernelGame(B, d, eta0=1.1, interpret=True, validate=True)
+    sg = StreamingGame(B, d, alg_flag=0, eta0=1.1)
+    for c in range(0, T, 32):
+        kg.feed(ztm[c:c + 32], ytm[c:c + 32])
+        sg.feed(ztm[c:c + 32], ytm[c:c + 32])
+    np.testing.assert_allclose(np.asarray(kg.result().x_last),
+                               np.asarray(sg.comparator_action()),
+                               atol=2e-5)
+
+    bad = StreamingKernelGame(B, d, eta0=1.1, interpret=True, validate=True)
+    with pytest.raises(ValueError, match="unit L2 ball"):
+        bad.feed(3.0 * ztm[:32], ytm[:32])
+    with pytest.raises(ValueError, match="labels"):
+        bad.feed(ztm[:32], 0.5 * ytm[:32])
+
+
+def test_streaming_kernel_d8_odd_chunks():
+    """Generality: d=8 state and non-power-of-two chunk lengths (ct falls
+    back to 1 when the chunk length is odd) still match the scan."""
+    from online_convex_optimization_tpu.models.streaming import (
+        StreamingKernelGame)
+    B, T, d = 64, 70, 8
+    z, y = _contract_batch(B, T, d, seed=31)
+    game = StreamingKernelGame(B, d, eta0=1.3, interpret=True)
+    ztm, ytm = z.transpose(1, 0, 2), y.T
+    for lo, hi in ((0, 25), (25, 70)):       # odd chunk lengths 25 and 45
+        game.feed(ztm[lo:hi], ytm[lo:hi])
+    got = game.result()
+    want = simulate_linear_batch(jnp.asarray(z), jnp.asarray(y), 0, 1.3)
+    np.testing.assert_allclose(np.asarray(got.regret),
+                               np.asarray(want.regret), atol=5e-4)
