@@ -266,6 +266,23 @@ def main():
                     "unit": "steps/s",
                     "note": "scan path, O(T d) identity phase B"})
 
+    # Quadratic track (BASELINE config 1): exact ball-constrained LS
+    # FTL from running (A, b) statistics — per-step d x d eigh in a scan.
+    from online_convex_optimization_tpu.models.quadratic import (
+        simulate_quadratic_batch)
+    Bq, Tq = (64, 256) if small else (1024, 512)
+    yq = (np.einsum("btd,d->bt", z[:Bq, :Tq],
+                    np.full(5, 1 / np.sqrt(5.0), np.float32))
+          + 0.1 * rng.standard_normal((Bq, Tq))).astype(np.float32)
+    zq = jax.device_put(jnp.asarray(z[:Bq, :Tq]))
+    yqd = jax.device_put(jnp.asarray(yq))
+    secs = _fetch_time(
+        lambda: simulate_quadratic_batch(zq, yqd, 1, 1.0).regret)
+    records.append({"metric": "quadratic_exact_ftl_steps_per_s",
+                    "value": Bq * Tq / secs, "unit": "steps/s",
+                    "note": "ball-constrained LS leader via running "
+                            "(A,b) stats, per-step eigh"})
+
     Bs = 32 if small else 512
     grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
     secs = _fetch_time(lambda: ftrl_eta_sweep(zd[:Bs], yd[:Bs], grid,

@@ -56,6 +56,21 @@ def separable_stream_batch(key, B: int, T: int, d: int = 5,
     return z, y, u
 
 
+@partial(jax.jit, static_argnames=("B", "T", "d", "sigma"))
+def regression_stream_batch(key, B: int, T: int, d: int = 5,
+                            sigma: float = 0.1):
+    """Quadratic-track regression streams (real-valued targets), device
+    twin of data.sequences.make_regression_stream; returns (z, y, u)."""
+    ku, kz, kn = jax.random.split(key, 3)
+    u = jax.random.normal(ku, (B, d), jnp.float32)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-30)
+    z = _clip_rows(jax.random.normal(kz, (B, T, d), jnp.float32))
+    y = (jnp.einsum("btd,bd->bt", z, u,
+                    precision=jax.lax.Precision.HIGHEST)
+         + sigma * jax.random.normal(kn, (B, T), jnp.float32))
+    return z, y, u
+
+
 @partial(jax.jit, static_argnames=("T", "lane_batch", "d", "dtype"))
 def random_packed_batch(key, T: int, lane_batch: int, d: int = 5,
                         dtype=jnp.float32):

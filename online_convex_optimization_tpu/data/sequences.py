@@ -116,6 +116,26 @@ def make_noisy_iid_stream(*, p: float, d: int = 5, run_seed: int = 0) -> Sampler
     return sample
 
 
+def make_regression_stream(*, sigma: float = 0.1, d: int = 5,
+                           run_seed: int = 0) -> SamplerFn:
+    """Regression stream for the quadratic-loss track (BASELINE.json
+    config 1; no reference analog): real-valued targets
+    y = <z, u> + sigma * N(0, 1) with clipped-Gaussian rows.  Seed
+    streams 31 (ground truth) / 33+rep (data) extend the reference's
+    11/13, 21/23 numbering without colliding with it."""
+    u = _unit_ground_truth(run_seed, 31, d)
+
+    def sample(T: int, rep: int = 0) -> Sample:
+        gen = rng_stream(run_seed, T, 33 + rep)
+        z = gen.standard_normal((T, d)).astype(np.float32, copy=False)
+        z = _clip_rows_to_unit_ball(z)
+        y = (z @ u + sigma * gen.standard_normal(T)).astype(np.float32,
+                                                            copy=False)
+        return z, y, u
+
+    return sample
+
+
 def make_flip_stream(*, d: int = 5, run_seed: int = 0) -> SamplerFn:
     def sample(T: int, rep: int = 0) -> Sample:
         return flip_sequence(T, d=d)

@@ -7,6 +7,10 @@ from online_convex_optimization_tpu.models.linear import (
     ALG_FTRL,
     ALG_FTL,
 )
+from online_convex_optimization_tpu.models.quadratic import (
+    simulate_quadratic,
+    simulate_quadratic_batch,
+)
 from online_convex_optimization_tpu.models.smart import (
     simulate_smart,
     simulate_smart_batch,
@@ -16,6 +20,8 @@ __all__ = [
     "RunResult",
     "simulate_linear",
     "simulate_linear_batch",
+    "simulate_quadratic",
+    "simulate_quadratic_batch",
     "simulate_smart",
     "simulate_smart_batch",
     "ALG_FTRL",

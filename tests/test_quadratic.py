@@ -1,0 +1,139 @@
+"""Quadratic-loss track (BASELINE.json config 1): ball-constrained
+least-squares FTL from running (A, b, c) sufficient statistics.
+
+No reference analog exists (the reference is hinge-only); correctness is
+established against scipy SLSQP multi-start and internal identities.
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+import jax.numpy as jnp
+
+from online_convex_optimization_tpu.models.quadratic import (
+    ball_ls_action,
+    quadratic_comparator_loss,
+    simulate_quadratic,
+    simulate_quadratic_batch,
+)
+
+
+def _instance(T, d=5, seed=0, sigma=0.3):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(T, d))
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=1, keepdims=True))
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    y = z @ u + sigma * rng.normal(size=T)
+    return z.astype(np.float64), y.astype(np.float64)
+
+
+def _obj(z, y, x):
+    return 0.5 * float(np.sum((z @ x - y) ** 2))
+
+
+def _slsqp(z, y, seed=0):
+    d = z.shape[1]
+    rng = np.random.default_rng(seed)
+    best = None
+    for trial in range(8):
+        x0 = rng.normal(size=d)
+        x0 /= max(np.linalg.norm(x0), 1.0) * 1.1
+        r = minimize(lambda x: _obj(z, y, x), x0, method="SLSQP",
+                     constraints=[{"type": "ineq",
+                                   "fun": lambda x: 1.0 - x @ x}],
+                     options={"maxiter": 400, "ftol": 1e-14})
+        if best is None or r.fun < best.fun:
+            best = r
+    return best
+
+
+@pytest.mark.parametrize("t", [1, 2, 3, 4, 8, 40])
+def test_ball_ls_action_matches_slsqp(t):
+    """All prefix sizes, including singular t < d systems."""
+    z, y = _instance(T=40, seed=1)
+    zp, yp = z[:t], y[:t]
+    A = jnp.asarray(zp.T @ zp)
+    b = jnp.asarray(zp.T @ yp)
+    x = np.asarray(ball_ls_action(A, b))
+    assert np.linalg.norm(x) <= 1.0 + 1e-9
+    best = _slsqp(zp, yp, seed=t)
+    assert _obj(zp, yp, x) <= best.fun + 1e-8, t
+
+
+def test_ball_ls_action_null_space_gradient():
+    """Singular A with b having a null-space component must go to the
+    boundary along that direction (the lam=0 pseudo-inverse is wrong)."""
+    d = 4
+    A = np.zeros((d, d))
+    A[0, 0] = 2.0                     # rank-1; directions 1..3 are free
+    b = np.zeros(d)
+    b[0] = 0.5
+    b[1] = 1.0                        # null-space pull
+    x = np.asarray(ball_ls_action(jnp.asarray(A), jnp.asarray(b)))
+    assert np.linalg.norm(x) == pytest.approx(1.0, abs=1e-6)
+    obj = 0.5 * x @ A @ x - b @ x
+    best = _slsqp_quad(A, b)
+    assert obj <= best + 1e-8
+
+
+def _slsqp_quad(A, b, seed=0):
+    rng = np.random.default_rng(seed)
+    best = np.inf
+    for _ in range(8):
+        x0 = rng.normal(size=len(b))
+        x0 /= max(np.linalg.norm(x0), 1.0) * 1.1
+        r = minimize(lambda x: 0.5 * x @ A @ x - b @ x, x0, method="SLSQP",
+                     constraints=[{"type": "ineq",
+                                   "fun": lambda x: 1.0 - x @ x}],
+                     options={"maxiter": 400, "ftol": 1e-14})
+        best = min(best, r.fun)
+    return best
+
+
+def test_comparator_stats_equal_replay():
+    z, y = _instance(T=60, seed=2)
+    A = jnp.asarray(z.T @ z)
+    b = jnp.asarray(z.T @ y)
+    c = float(np.sum(y * y))
+    x = ball_ls_action(A, b)
+    from_stats = float(quadratic_comparator_loss(A, b, c, x))
+    replay = _obj(z, y, np.asarray(x))
+    assert from_stats == pytest.approx(replay, rel=1e-9, abs=1e-9)
+
+
+def test_batch_matches_single_and_ftl_beats_ftrl_on_easy_data():
+    z, y = _instance(T=80, seed=3, sigma=0.05)
+    res_b = simulate_quadratic_batch(z[None], y[None], 1, 1.0)
+    res_s = simulate_quadratic(z, y, alg="ftl")
+    assert float(res_b.regret[0]) == pytest.approx(res_s.regret, abs=1e-9)
+    res_ftrl = simulate_quadratic(z, y, alg="ftrl", eta0=1.0)
+    # Exact FTL tracks the near-noiseless regression much tighter.
+    assert res_s.cum_loss < res_ftrl.cum_loss
+    assert res_s.regret >= -1e-6
+
+
+def test_single_sequence_T1e4_cpu_runnable():
+    """BASELINE config 1 shape: one sequence, T = 10^4, CPU."""
+    from online_convex_optimization_tpu.data.sequences import (
+        make_regression_stream)
+    sampler = make_regression_stream(sigma=0.1, run_seed=2025)
+    z, y, u = sampler(10_000)
+    res = simulate_quadratic(z.astype(np.float64), y.astype(np.float64),
+                             alg="ftl")
+    assert np.isfinite(res.regret)
+    # The exact leader converges to ~u: average loss approaches sigma^2/2.
+    assert res.cum_loss / 10_000 < 0.02
+    assert abs(np.linalg.norm(res.x_last) - min(np.linalg.norm(u), 1.0)) < 0.2
+
+
+def test_regression_stream_contract():
+    from online_convex_optimization_tpu.data.sequences import (
+        make_regression_stream)
+    s = make_regression_stream(sigma=0.2, run_seed=7)
+    z, y, u = s(256, rep=3)
+    assert np.all(np.linalg.norm(z, axis=1) <= 1.0 + 1e-6)
+    za, ya, _ = make_regression_stream(sigma=0.2, run_seed=7)(256, rep=3)
+    np.testing.assert_array_equal(z, za)   # PCG64 determinism
+    np.testing.assert_array_equal(y, ya)
