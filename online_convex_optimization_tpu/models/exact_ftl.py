@@ -423,6 +423,12 @@ class ExactFTL:
     def prefix_actions(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Exact FTL actions for every prefix 0..T; row 0 is the zero vector
         (exact_ftl.py:294-297).  Active-set-polished; residual-checked."""
+        # Keep the caller's full-precision host copy for the polish: the
+        # device solve may run f32, but the active-set systems must be
+        # built from the ORIGINAL data or the "exact" optimum is the
+        # optimum of an f32-rounded problem (~1e-7 objective error).
+        z_host = np.asarray(z, np.float64)
+        y_host = np.asarray(y, np.float64)
         z = jnp.asarray(z)
         y = jnp.asarray(y)
         T, d = z.shape
@@ -445,7 +451,7 @@ class ExactFTL:
         actions = np.concatenate([np.zeros((1, d)), X_np])
         if self.polish:
             good = np.flatnonzero(~np.isnan(X_np).any(axis=1)) + 1
-            actions = polish_prefix_actions(np.asarray(z), np.asarray(y),
+            actions = polish_prefix_actions(z_host, y_host,
                                             actions, self.norm, lengths=good)
         return actions
 

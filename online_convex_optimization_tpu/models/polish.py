@@ -41,7 +41,7 @@ from typing import Optional
 
 import numpy as np
 
-_ACTIVE_TOLS = (1e-3, 1e-4, 1e-5)
+_ACTIVE_TOLS = (3e-3, 1e-3, 3e-4, 1e-4, 1e-5)
 
 
 def objective(z: np.ndarray, y: np.ndarray, x: np.ndarray) -> float:
@@ -85,9 +85,9 @@ def _candidate_l2(z, y, active, g, d):
     return x / max(nx, 1.0)
 
 
-def _candidate_linf(z, y, active, x0, d):
+def _candidate_linf(z, y, active, x0, d, pin_tol=1e-6):
     za, ya = z[active], y[active]
-    pinned = np.abs(x0) > 1.0 - 1e-6
+    pinned = np.abs(x0) > 1.0 - pin_tol
     free = ~pinned
     b = np.sign(x0[pinned])
     rhs = ya - (za[:, pinned] @ b if za.size else 0.0)
@@ -153,18 +153,24 @@ def polish_solution(z: np.ndarray, y: np.ndarray, x_admm: np.ndarray,
         sigma = np.sign(r[~active])
         g = 0.5 * (z[~active].T @ sigma) if sigma.size else np.zeros(d)
         if norm == "l2":
-            cand = _candidate_l2(z, y, active, g, d)
+            cands = [_candidate_l2(z, y, active, g, d)]
         elif norm == "linf":
-            cand = _candidate_linf(z, y, active, x_admm, d)
+            # Pinning-threshold ladder: an ADMM iterate within ~1e-6 of
+            # the fixed point can leave a truly-pinned coordinate just
+            # outside a single fixed threshold; extra candidates are free
+            # (the objective comparison below keeps only improvements).
+            cands = [_candidate_linf(z, y, active, x_admm, d, pin_tol=pt)
+                     for pt in (1e-6, 1e-5, 1e-4)]
         elif norm == "l1":
-            cand = _candidate_l1(z, y, active, x_admm, d)
+            cands = [_candidate_l1(z, y, active, x_admm, d)]
         else:
             raise ValueError(norm)
-        if cand is None:
-            continue
-        f = objective(z, y, cand)
-        if f < best_f:
-            best_x, best_f = cand, f
+        for cand in cands:
+            if cand is None:
+                continue
+            f = objective(z, y, cand)
+            if f < best_f:
+                best_x, best_f = cand, f
     return best_x
 
 

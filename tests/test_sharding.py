@@ -204,3 +204,33 @@ def test_sharded_stream_step_matches_unsharded():
     got = np.asarray(stream_result(carry_sh)[0])
     want = np.asarray(stream_result(carry_lo)[0])
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_quadratic_matches_local():
+    """Quadratic track under shard_map (pure elementwise + scan — no
+    collectives needed until the reduction)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from online_convex_optimization_tpu.models.quadratic import (
+        simulate_quadratic_batch)
+
+    n = len(jax.devices())
+    B, T, d = 8 * n, 48, 5
+    rng = np.random.default_rng(19)
+    z = rng.normal(size=(B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = (z @ (np.ones(d) / np.sqrt(d))
+         + 0.1 * rng.normal(size=(B, T))).astype(np.float32)
+    mesh = make_mesh(n, 1)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(("data", "hyper")),) * 2,
+             out_specs=P(("data", "hyper")), check_vma=False)
+    def run(z_loc, y_loc):
+        return simulate_quadratic_batch(z_loc, y_loc, 1, 1.0).regret
+
+    got = np.asarray(run(jnp.asarray(z), jnp.asarray(y)))
+    want = np.asarray(simulate_quadratic_batch(z, y, 1, 1.0).regret)
+    np.testing.assert_allclose(got, want, atol=1e-5)
