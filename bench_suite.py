@@ -221,12 +221,12 @@ def main():
                                      dtype=jnp.bfloat16)
         S_k = zc.shape[2]
         game = StreamingKernelGame(S_k * LB_k, 5, alg_flag=0,
-                                   eta0=np.sqrt(2.0))
+                                   eta0=np.sqrt(2.0), dtype=jnp.bfloat16)
         game.feed_packed(zc, yc)                     # compile + warm
         np.asarray(game.carry[2])
 
         game = StreamingKernelGame(S_k * LB_k, 5, alg_flag=0,
-                                   eta0=np.sqrt(2.0))
+                                   eta0=np.sqrt(2.0), dtype=jnp.bfloat16)
         t0 = time.perf_counter()
         for i in range(N_k):
             game.feed_packed(zc, yc)
@@ -242,8 +242,33 @@ def main():
                         "unit": "steps/s",
                         "note": "T=2^20, 16384 seqs, Pallas carry chunks, "
                                 "replay-free identity comparator, mid-run "
-                                "checkpoint round-trip"})
+                                "checkpoint round-trip; per-feed dispatch "
+                                "through the relay dominates at this "
+                                "batch (kernel-only twin below)"})
         del zc, yc
+
+        # Kernel-only streaming throughput: K chained carry advances
+        # inside ONE jit (no per-feed dispatch) at the headline batch.
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            play_packed_stream, zero_stream_carry)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_stream_k(z, y, *, k):
+            carry0 = zero_stream_carry(LB, 5, S)
+
+            def body(i, c):
+                return play_packed_stream(
+                    z, y, np.float32(np.sqrt(2.0)),
+                    i.astype(jnp.float32) * T, c,
+                    lanes_per_program=256, unroll=8)
+            return jax.lax.fori_loop(0, k, body, carry0)
+
+        secs = _fetch_time(lambda: run_stream_k(zd, yd, k=K)[2]) / K
+        records.append({"metric": "stream_kernel_chained_steps_per_s",
+                        "value": S * LB * T / secs, "unit": "steps/s",
+                        "note": "carry-in/carry-out kernel, K advances "
+                                "chained in one dispatch — the streaming "
+                                "hot path without relay overhead"})
 
     # --- xla scan / smart / sweep / exact (any backend) ---
     B, T = (256, 256) if small else (8192, 1024)

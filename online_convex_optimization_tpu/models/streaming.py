@@ -165,7 +165,8 @@ class StreamingKernelGame:
         seq_tile = 128 * S
         self._Bp = B + ((-B) % seq_tile)
         self._S = S
-        self.carry = zero_stream_carry(self._Bp, d, S)
+        # Carry lane dim = packed lane count (sequences / sublanes).
+        self.carry = zero_stream_carry(self._Bp // S, d, S)
         self.t = 0
 
     def feed(self, z_chunk, y_chunk) -> None:
@@ -187,6 +188,17 @@ class StreamingKernelGame:
             z_pack, y_pack, self.eta0, self.t, self.carry,
             alg_flag=self.alg_flag, interpret=self.interpret)
         self.t += int(z_pack.shape[0])
+
+    def feed_many_packed(self, z_stack, y_stack) -> None:
+        """Feed N stacked packed chunks ((N, CT, d, S, B')) in ONE device
+        dispatch — the per-feed host round-trip (dominant through a remote
+        runtime) is paid once per stack instead of once per chunk."""
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            play_packed_stream_many)
+        self.carry = play_packed_stream_many(
+            z_stack, y_stack, self.eta0, self.t, self.carry,
+            alg_flag=self.alg_flag, interpret=self.interpret)
+        self.t += int(z_stack.shape[0] * z_stack.shape[1])
 
     def comparator_action(self) -> jnp.ndarray:
         """Final FTL action per sequence, (B, d) — same comparator the

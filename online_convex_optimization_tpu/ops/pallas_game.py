@@ -705,7 +705,10 @@ def _stream_kernel(scaleh_ref, s2_ref, th_in, w_in, sc_in, z_ref, y_ref,
 def zero_stream_carry(B: int, d: int, S: int):
     """Fresh carry for ``play_packed_stream``: (theta2, w, [cum, cnt]) in
     packed lane layout (theta2 = 2*theta, losses un-halved — the kernels'
-    internal conventions; ``stream_result`` undoes both)."""
+    internal conventions; ``stream_result`` undoes both).
+
+    ``B`` is the PACKED LANE count (z_pack.shape[3] == n_sequences / S),
+    not the sequence count — play_packed_stream asserts the match."""
     return (jnp.zeros((d, S, B), jnp.float32),
             jnp.zeros((d, S, B), jnp.float32),
             jnp.zeros((2, S, B), jnp.float32))
@@ -732,6 +735,10 @@ def play_packed_stream(z_pack, y_pack, eta, t0, carry, *, alg_flag: int = 0,
     T, d, S, B = z_pack.shape
     assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
     th_in, w_in, sc_in = carry
+    # Loud shape check: an oversized carry would otherwise be silently
+    # block-sliced by the Pallas index map.
+    assert th_in.shape == (d, S, B), (th_in.shape, (d, S, B))
+    assert sc_in.shape == (2, S, B), (sc_in.shape, (2, S, B))
     lanes, ct, u, nchunks, nb = _choose_tiles(
         B, T, d, lanes_per_program, chunk_t, unroll,
         sublanes=S, itemsize=z_pack.dtype.itemsize)
@@ -778,6 +785,42 @@ def play_packed_stream(z_pack, y_pack, eta, t0, carry, *, alg_flag: int = 0,
         interpret=interpret,
     )(scaleh, s2, th_in, w_in, sc_in, z_pack, y_pack)
     return th, w, sc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("alg_flag", "chunk_t", "unroll",
+                                    "lanes_per_program", "interpret"))
+def play_packed_stream_many(z_stack, y_stack, eta, t0, carry, *,
+                            alg_flag: int = 0, chunk_t: int = 256,
+                            unroll: int = 4,
+                            lanes_per_program: int = 4 * LANES,
+                            interpret: bool = False):
+    """Advance the streamed game over N stacked chunks in ONE dispatch.
+
+    Args:
+      z_stack: (N, T_chunk, d, S, B); y_stack: (N, T_chunk, S, B) —
+        device-resident chunk stores (e.g. staged by a generation or IO
+        pipeline).  A ``lax.scan`` chains the carry through the N kernel
+        launches inside one jitted program, so the per-feed host dispatch
+        round-trip (the dominant cost of Python-loop feeding through a
+        remote runtime) is paid once per stack, not once per chunk.
+    Returns: the advanced carry.
+    """
+    CT = z_stack.shape[1]
+
+    def body(state, zy):
+        c, t = state
+        z_pack, y_pack = zy
+        c = play_packed_stream(z_pack, y_pack, eta, t, c,
+                               alg_flag=alg_flag, chunk_t=chunk_t,
+                               unroll=unroll,
+                               lanes_per_program=lanes_per_program,
+                               interpret=interpret)
+        return (c, t + CT), None
+
+    (carry, _), _ = jax.lax.scan(
+        body, (carry, jnp.asarray(t0, jnp.float32)), (z_stack, y_stack))
+    return carry
 
 
 @jax.jit

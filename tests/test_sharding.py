@@ -193,8 +193,8 @@ def test_sharded_stream_step_matches_unsharded():
     ytm = np.asarray(y).T
     mesh = make_mesh(n, 1)
 
-    carry_sh = zero_stream_carry(B, d, 8)
-    carry_lo = zero_stream_carry(B, d, 8)
+    carry_sh = zero_stream_carry(B // 8, d, 8)
+    carry_lo = zero_stream_carry(B // 8, d, 8)
     for c in range(0, T, 32):
         zc, yc = pack_time_major(ztm[c:c + 32], ytm[c:c + 32])
         carry_sh = sharded_stream_step(mesh, zc, yc, 1.2, c, carry_sh,

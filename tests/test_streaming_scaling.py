@@ -204,3 +204,27 @@ def test_streaming_kernel_d8_odd_chunks():
     want = simulate_linear_batch(jnp.asarray(z), jnp.asarray(y), 0, 1.3)
     np.testing.assert_allclose(np.asarray(got.regret),
                                np.asarray(want.regret), atol=5e-4)
+
+
+def test_streaming_kernel_feed_many_matches_sequential():
+    """One-dispatch stacked feeding == chunk-by-chunk feeding exactly."""
+    from online_convex_optimization_tpu.models.streaming import (
+        StreamingKernelGame)
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_time_major)
+    B, T, d, CT = 64, 128, 5, 32
+    z, y = _contract_batch(B, T, d, seed=41)
+    ztm, ytm = z.transpose(1, 0, 2), y.T
+    packs = [pack_time_major(ztm[c:c + CT], ytm[c:c + CT])
+             for c in range(0, T, CT)]
+    z_stack = jnp.stack([p[0] for p in packs])
+    y_stack = jnp.stack([p[1] for p in packs])
+
+    a = StreamingKernelGame(B, d, eta0=1.2, interpret=True)
+    for zp, yp in packs:
+        a.feed_packed(zp, yp)
+    b = StreamingKernelGame(B, d, eta0=1.2, interpret=True)
+    b.feed_many_packed(z_stack, y_stack)
+    np.testing.assert_array_equal(np.asarray(a.result().regret),
+                                  np.asarray(b.result().regret))
+    assert a.t == b.t
