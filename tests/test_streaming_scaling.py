@@ -228,3 +228,22 @@ def test_streaming_kernel_feed_many_matches_sequential():
     np.testing.assert_array_equal(np.asarray(a.result().regret),
                                   np.asarray(b.result().regret))
     assert a.t == b.t
+
+
+def test_streaming_kernel_bf16_matches_scan():
+    """bf16 chunk storage (the T=1M bench path): results match the scan on
+    the bf16-rounded inputs."""
+    from online_convex_optimization_tpu.models.streaming import (
+        StreamingKernelGame)
+    B, T, d = 64, 64, 5
+    z, y = _contract_batch(B, T, d, seed=51)
+    game = StreamingKernelGame(B, d, eta0=1.2, dtype=jnp.bfloat16,
+                               interpret=True)
+    ztm, ytm = z.transpose(1, 0, 2), y.T
+    for c in range(0, T, 32):
+        game.feed(ztm[c:c + 32], ytm[c:c + 32])
+    got = np.asarray(game.result().regret)
+    z_r = np.asarray(jnp.asarray(z).astype(jnp.bfloat16).astype(jnp.float32))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z_r),
+                                            jnp.asarray(y), 0, 1.2).regret)
+    np.testing.assert_allclose(got, want, atol=5e-4)
