@@ -252,6 +252,9 @@ def main():
         from online_convex_optimization_tpu.ops.pallas_game import (
             play_packed_stream, zero_stream_carry)
 
+        zd, yd = random_packed_batch(jax.random.key(0), T, LB,
+                                     dtype=jnp.bfloat16)
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def run_stream_k(z, y, *, k):
             carry0 = zero_stream_carry(LB, 5, S)
@@ -306,7 +309,7 @@ def main():
     records.append({"metric": "quadratic_exact_ftl_steps_per_s",
                     "value": Bq * Tq / secs, "unit": "steps/s",
                     "note": "ball-constrained LS leader via running "
-                            "(A,b) stats, per-step eigh"})
+                            "(A,b) stats, unrolled-Cholesky bisection"})
 
     Bs = 32 if small else 512
     grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
