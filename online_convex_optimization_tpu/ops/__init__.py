@@ -17,6 +17,7 @@ from online_convex_optimization_tpu.ops.pallas_game import (
     pack_sequences,
     pack_time_major,
     play_packed_stream,
+    play_packed_stream_many,
     regrets_fused,
     simulate_linear_pallas_v2,
     stream_result,
@@ -50,6 +51,7 @@ __all__ = [
     "smart_sweep_packed",
     "pack_time_major",
     "play_packed_stream",
+    "play_packed_stream_many",
     "stream_result",
     "zero_stream_carry",
 ]
