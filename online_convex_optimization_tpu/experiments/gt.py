@@ -27,21 +27,26 @@ from online_convex_optimization_tpu.models.linear import simulate_linear_batch
 from online_convex_optimization_tpu.utils.debug import checked, drop_nonfinite_stats
 
 def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
-             chunk: int, check: bool = False) -> float:
+             chunk: int, check: bool = False, T_pad: int = 0) -> float:
     # check=True checkify-wraps the simulator so NaN/inf inside the scan
     # surfaces as a located error instead of silently propagating into the
     # max reduction (utils.debug.checked; SURVEY §5 sanitizers).
+    # T_pad > T zero-pads every horizon to one shape so the whole T grid
+    # shares ONE compile (zero rows are loss/gradient-inert; through a
+    # remote-compile relay the per-shape compile dominates first-run wall
+    # time).
     sim = (checked(lambda zz, yy: simulate_linear_batch(zz, yy, 0, eta0))
            if check else (lambda zz, yy: simulate_linear_batch(zz, yy, 0,
                                                                eta0)))
+    T_pad = max(T_pad, T)
     max_regret = 0.0
     for start in range(0, runs, chunk):
         n = min(chunk, runs - start)
-        z = np.empty((n, T, 5), dtype=dtype)
-        y = np.empty((n, T), dtype=dtype)
+        z = np.zeros((n, T_pad, 5), dtype=dtype)
+        y = np.zeros((n, T_pad), dtype=dtype)
         for i in range(n):
-            z[i], y[i] = sample_g_instance(base_seed, T, start + i,
-                                           dtype=dtype)
+            z[i, :T], y[i, :T] = sample_g_instance(base_seed, T, start + i,
+                                                   dtype=dtype)
         res = sim(z, y)
         max_regret = max(max_regret, float(np.max(np.asarray(res.regret))))
     return max_regret
@@ -73,8 +78,10 @@ def estimate_g(
         except ImportError:
             pass
 
+    T_pad = max(int(t) for t in T_grid)
     for T in iterator:
-        g[T] = _g_for_T(T, runs, base_seed, eta0, dtype, chunk, check)
+        g[T] = _g_for_T(T, runs, base_seed, eta0, dtype, chunk, check,
+                        T_pad=T_pad)
         if cache_path:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
             with open(cache_path, "w") as f:

@@ -147,3 +147,17 @@ def test_deterministic_families_route_to_golden_f64():
         z, y = (np.asarray(a, np.float64) for a in sampler(T, 0)[:2])
         want = golden_simulate_alg(z, y, 0, math.sqrt(2.0))
         assert float(stats["FTRL"][0][ti]) == want
+
+
+def test_g_padding_is_inert():
+    """Zero-padding horizons to a shared shape (one compile for the whole
+    T grid) must not change g(T)."""
+    from online_convex_optimization_tpu.experiments.gt import _g_for_T
+
+    a = _g_for_T(60, runs=6, base_seed=0, eta0=1.4, dtype=np.float64,
+                 chunk=8)
+    b = _g_for_T(60, runs=6, base_seed=0, eta0=1.4, dtype=np.float64,
+                 chunk=8, T_pad=150)
+    # bit-level reduction order over the padded tail differs; the values
+    # are mathematically identical (zero rows are inert).
+    assert a == pytest.approx(b, abs=1e-12)
