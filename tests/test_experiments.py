@@ -161,3 +161,34 @@ def test_g_padding_is_inert():
     # bit-level reduction order over the padded tail differs; the values
     # are mathematically identical (zero rows are inert).
     assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_config_admm_precision_cli_and_cache_key():
+    cfg = config_from_args(["--exact", "--exact-admm-precision", "high"])
+    assert cfg.exact_admm_precision == "high"
+    base = config_from_args(["--exact"])
+    assert base.exact_admm_precision == "highest"
+    # The knob changes the exact solves, so it must change the cache key.
+    assert cfg.g_cache_key() != base.g_cache_key()
+    # ...but only in exact mode (the plain pipeline never touches it).
+    a = config_from_args(["--exact-admm-precision", "high"])
+    b = config_from_args([])
+    assert a.g_cache_key() == b.g_cache_key()
+
+
+def test_estimate_g_exact_cache_resume(tmp_path):
+    """Partial exact-g tables resume from the JSON artifact: already-
+    computed horizons are not re-solved (exact twin of the plain test)."""
+    from online_convex_optimization_tpu.experiments.gt import estimate_g_exact
+
+    cache = str(tmp_path / "g_exact.json")
+    g1 = estimate_g_exact([30], runs=3, base_seed=0, iters=800,
+                          cache_path=cache, progress=False)
+    g2 = estimate_g_exact([30, 50], runs=3, base_seed=0, iters=800,
+                          cache_path=cache, progress=False)
+    assert g2[30] == g1[30]          # reused verbatim from the artifact
+    assert set(g2) == {30, 50} and g2[50] > 0.0
+    import json
+    on_disk = {int(k): v for k, v in
+               json.load(open(cache)).items()}
+    assert on_disk == g2
