@@ -133,7 +133,7 @@ def _simulate_quadratic_batch(z, y, alg_flag, eta0):
     TPU-first shape: unlike the hinge game, the exact-FTL trajectory here
     is NOT sequential — action t depends only on the prefix statistics
     (A_{t-1}, b_{t-1}), which are cumulative sums.  So ALL T prefix
-    actions come from ONE batched eigh + bisection over (B, T) tiny
+    actions come from ONE batched trust-region solve over (B, T) tiny
     systems (the all-prefix pattern of models/exact_ftl.py), and only the
     FTRL track (whose gradients depend on its own actions) runs as a
     scan — with no linear algebra inside it.  Transient memory is
