@@ -11,7 +11,9 @@ Architecture (TPU-first; see SURVEY.md for the reference layer map):
 - ``ops``      : fused step math (hinge loss, tie-exact subgradient, FTL /
                  FTRL actions, ball projections) + Pallas kernels.
 - ``models``   : ``lax.scan`` algorithm simulators (FTRL/FTL/SMART/exact-FTL)
-                 with a reference-compatible functional API.
+                 with a reference-compatible functional API, plus the
+                 quadratic-loss exact-leader track and kernel-speed
+                 streaming for horizons beyond device memory.
 - ``data``     : sequence families + stream builders.  Host NumPy path uses
                  the reference's exact PCG64 seed schedules for bitwise input
                  parity; a ``jax.random`` device path serves pure-throughput
