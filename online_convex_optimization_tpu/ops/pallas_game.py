@@ -727,7 +727,12 @@ def play_packed_stream(z_pack, y_pack, eta, t0, carry, *, alg_flag: int = 0,
       z_pack: (T_chunk, d, S, B) f32/bf16; y_pack: (T_chunk, S, B).
       eta: scalar FTRL step scale (ignored for alg_flag=1).
       t0: number of rounds already played (traced scalar OK) — the global
-        round index of row k is t0 + k + 1.
+        round index of row k is t0 + k + 1.  The index is carried in f32:
+        integers are exact up to 2^24, so horizons beyond ~1.6e7 rounds
+        accumulate ulp error in the FTRL scale (the scale varies as
+        1/sqrt(t) — at t = 2^24 a 1-ulp index error shifts it by ~3e-8,
+        far below f32 game noise, so this is a documentation bound, not a
+        practical one).
       carry: (theta2 (d,S,B), w (d,S,B), sc (2,S,B) [cum, cnt]) from
         ``zero_stream_carry`` or a previous call.
     Returns: the advanced carry (same structure).
