@@ -143,6 +143,16 @@ def _simulate_quadratic_batch(z, y, alg_flag, eta0):
     dtype = z.dtype
     is_ftrl = (alg_flag == 0)
 
+    # On TPU at f32, the trust-region solves run in the register-resident
+    # Pallas kernel (ops/pallas_trs.py): ONE HBM pass over the Gram stack
+    # instead of one per bisection iteration.  CPU / x64 (the parity
+    # track) keeps the XLA formulation.
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        from online_convex_optimization_tpu.ops.pallas_trs import (
+            ball_ls_action_pallas as _solve)
+    else:
+        _solve = ball_ls_action
+
     # ---- exact-FTL track: all prefixes at once ----
     outers = z[:, :, :, None] * z[:, :, None, :]         # (B, T, d, d)
     A_cum = jnp.cumsum(outers, axis=1)
@@ -151,7 +161,7 @@ def _simulate_quadratic_batch(z, y, alg_flag, eta0):
                              A_cum[:, :-1]], axis=1)
     b_pre = jnp.concatenate([jnp.zeros((B, 1, d), dtype),
                              b_cum[:, :-1]], axis=1)
-    x_ftl = ball_ls_action(A_pre, b_pre)                 # (B, T, d)
+    x_ftl = _solve(A_pre, b_pre)                         # (B, T, d)
     q_ftl = jnp.sum(z * x_ftl, axis=-1)
     cum_ftl = 0.5 * jnp.sum((q_ftl - y) ** 2, axis=-1)
 
@@ -178,7 +188,7 @@ def _simulate_quadratic_batch(z, y, alg_flag, eta0):
     x_last = jnp.where(is_ftrl[:, None], xs[-1], x_ftl[:, -1])
     c = jnp.sum(y * y, axis=-1)
     A, b = A_cum[:, -1], b_cum[:, -1]
-    x_c = ball_ls_action(A, b)                       # exact comparator
+    x_c = _solve(A, b)                               # exact comparator
     comp = quadratic_comparator_loss(A, b, c, x_c)
     return cum, comp, x_c, x_last
 

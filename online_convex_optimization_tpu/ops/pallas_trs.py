@@ -1,0 +1,169 @@
+"""Pallas trust-region solver: batched ball-constrained least squares.
+
+The quadratic track's exact FTL (models/quadratic.py) solves, per prefix,
+
+    argmin_{||x|| <= 1}  0.5 x^T A x - b^T x
+
+by bisection on the trust-region multiplier, each step one d-unrolled
+Cholesky ridge solve.  The XLA formulation re-reads the (N, d, d) Gram
+stack from HBM on EVERY bisection iteration (~60 passes — measured
+HBM-bound at ~3e7 solves/s).  This kernel loads each prefix's statistics
+into registers ONCE and runs the whole bisection there: one HBM pass
+over (A, b) total, everything else VPU register work.
+
+Layout follows ops/pallas_game.py: prefixes ride (sublane, lane) tiles;
+the d*d + d statistics live in the leading block axis, so every op is a
+full-width elementwise VPU op and ``d`` stays a compile-time constant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from online_convex_optimization_tpu.ops.pallas_game import LANES, SUBLANES
+
+
+def _chol_solve_tiles(A, b, lam):
+    """(A + lam I)^{-1} b on register tiles: A is a d x d list-of-lists of
+    (S, lanes) tiles (lower triangle used), b a list of d tiles, lam a
+    tile.  Mirrors models/quadratic.py::_ridge_chol_solve."""
+    d = len(b)
+    L = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = A[i][j] + (lam if i == j else 0.0)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    v = []
+    for i in range(d):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * v[k]
+        v.append(s / L[i][i])
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = v[i]
+        for k in range(i + 1, d):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _trs_kernel(stats_ref, x_ref, *, d: int, iters: int):
+    """One lane-block of trust-region solves, bisection entirely in
+    registers.  stats rows: [A row-major (d*d), b (d)]."""
+    A = [[stats_ref[i * d + j] for j in range(d)] for i in range(d)]
+    b = [stats_ref[d * d + i] for i in range(d)]
+
+    tr = A[0][0]
+    nb2 = b[0] * b[0]
+    for i in range(1, d):
+        tr = tr + A[i][i]
+        nb2 = nb2 + b[i] * b[i]
+    eps = (1e-6 / d) * tr + 1e-6          # ridge floor (f32), SPD always
+
+    def norm2(lam):
+        x = _chol_solve_tiles(A, b, lam + eps)
+        n2 = x[0] * x[0]
+        for i in range(1, d):
+            n2 = n2 + x[i] * x[i]
+        return n2, x
+
+    hi0 = jnp.sqrt(nb2)                    # [0, ||b||] brackets lam*
+    lo0 = jnp.zeros_like(hi0)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        n2, _ = norm2(mid)
+        outside = n2 > 1.0
+        return (jnp.where(outside, mid, lo), jnp.where(outside, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    n2, x = norm2(hi)
+    # Exact feasibility: project the boundary case onto the sphere.
+    scale = jax.lax.rsqrt(jnp.maximum(n2, 1.0))
+    for i in range(d):
+        x_ref[i] = x[i] * scale
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "lanes_per_program",
+                                             "interpret"))
+def trs_solve_packed(stats, *, iters: int = 60,
+                     lanes_per_program: int = 4 * LANES,
+                     interpret: bool = False):
+    """Solve a packed batch of trust-region problems.
+
+    Args:
+      stats: (d*d + d, S, B) f32 — per lane, A row-major then b
+        (see ``pack_stats``); B % 128 == 0, S == 8.
+    Returns: x (d, S, B) f32 with ||x|| <= 1 per lane.
+    """
+    n_s, S, B = stats.shape
+    d = int(round((-1 + (1 + 4 * n_s) ** 0.5) / 2))
+    assert d * d + d == n_s, (n_s, d)
+    assert S == SUBLANES, S
+    lanes = min(lanes_per_program, B)
+    lanes -= lanes % LANES
+    while B % lanes:
+        lanes -= LANES
+
+    kernel = functools.partial(_trs_kernel, d=d, iters=iters)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // lanes,),
+        in_specs=[pl.BlockSpec((n_s, S, lanes), lambda i: (0, 0, i))],
+        out_specs=pl.BlockSpec((d, S, lanes), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((d, S, B), jnp.float32),
+        interpret=interpret,
+    )(stats)
+    return out
+
+
+def pack_stats(A: jnp.ndarray, b: jnp.ndarray):
+    """(N, d, d) Gram stack + (N, d) linear terms -> packed kernel layout
+    ((d*d + d, S, B'), N) with the lane order of ``pack_sequences``."""
+    N, d, _ = A.shape
+    flat = jnp.concatenate([A.reshape(N, d * d), b], axis=1)   # (N, n_s)
+    n_s = d * d + d
+    seq_tile = LANES * SUBLANES
+    pad = (-N) % seq_tile
+    flat = jnp.pad(flat.astype(jnp.float32), ((0, pad), (0, 0)))
+    nb = (N + pad) // seq_tile
+    packed = (flat.reshape(nb, SUBLANES, LANES, n_s)
+                  .transpose(3, 1, 0, 2)
+                  .reshape(n_s, SUBLANES, nb * LANES))
+    return packed, N
+
+
+def unpack_x(x_pack: jnp.ndarray, N: int) -> jnp.ndarray:
+    """(d, S, B') kernel output -> (N, d) in the original order."""
+    d, S, BL = x_pack.shape
+    nb = BL // LANES
+    cols = (x_pack.reshape(d, S, nb, LANES)
+                  .transpose(2, 1, 3, 0)
+                  .reshape(nb * S * LANES, d))
+    return cols[:N]
+
+
+def ball_ls_action_pallas(A: jnp.ndarray, b: jnp.ndarray, *,
+                          iters: int = 60, interpret: bool = False):
+    """Drop-in batched twin of ``models.quadratic.ball_ls_action`` for
+    (..., d, d) / (..., d) inputs, via the register-resident kernel."""
+    batch_shape = b.shape[:-1]
+    d = b.shape[-1]
+    A2 = A.reshape((-1, d, d))
+    b2 = b.reshape((-1, d))
+    packed, N = pack_stats(A2, b2)
+    x = unpack_x(trs_solve_packed(packed, iters=iters, interpret=interpret),
+                 N)
+    return x.reshape(batch_shape + (d,))

@@ -137,3 +137,44 @@ def test_regression_stream_contract():
     za, ya, _ = make_regression_stream(sigma=0.2, run_seed=7)(256, rep=3)
     np.testing.assert_array_equal(z, za)   # PCG64 determinism
     np.testing.assert_array_equal(y, ya)
+
+
+@pytest.mark.parametrize("t", [1, 3, 8, 40])
+def test_trs_kernel_matches_xla_solver(t):
+    """Register-resident Pallas bisection == the XLA formulation on every
+    prefix size (including singular t < d systems)."""
+    from online_convex_optimization_tpu.ops.pallas_trs import (
+        ball_ls_action_pallas)
+    z, y = _instance(T=40, seed=5)
+    zp = z[:t].astype(np.float32)
+    yp = y[:t].astype(np.float32)
+    A = jnp.asarray(zp.T @ zp)[None]
+    b = jnp.asarray(zp.T @ yp)[None]
+    got = np.asarray(ball_ls_action_pallas(A, b, interpret=True))[0]
+    want = np.asarray(ball_ls_action(A.astype(jnp.float32),
+                                     b.astype(jnp.float32)))[0]
+    # Underdetermined prefixes (t < d) have non-unique minimizers, so
+    # compare OBJECTIVES; the full-rank case must match vectorwise.
+    obj_g = 0.5 * float(np.sum((zp @ got - yp) ** 2))
+    obj_w = 0.5 * float(np.sum((zp @ want - yp) ** 2))
+    assert obj_g <= obj_w + 1e-6
+    if t >= 8:
+        np.testing.assert_allclose(got, want, atol=2e-5)
+    assert np.linalg.norm(got) <= 1.0 + 1e-6
+    # ... and it still beats SLSQP on the f32-rounded problem.
+    best = _slsqp(zp.astype(np.float64), yp.astype(np.float64), seed=t)
+    assert _obj(zp, yp, got) <= best.fun + 1e-4
+
+
+def test_trs_kernel_batch_roundtrip():
+    """pack_stats/unpack_x preserve order across a multi-tile batch."""
+    from online_convex_optimization_tpu.ops.pallas_trs import (
+        ball_ls_action_pallas)
+    rng = np.random.default_rng(3)
+    N, d = 2100, 5                     # > 2 lane tiles, ragged padding
+    M = rng.normal(size=(N, d, d)).astype(np.float32)
+    A = jnp.asarray(M @ M.transpose(0, 2, 1))
+    b = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    got = np.asarray(ball_ls_action_pallas(A, b, interpret=True))
+    want = np.asarray(ball_ls_action(A, b))
+    np.testing.assert_allclose(got, want, atol=2e-5)
