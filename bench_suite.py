@@ -309,7 +309,8 @@ def main():
     records.append({"metric": "quadratic_exact_ftl_steps_per_s",
                     "value": Bq * Tq / secs, "unit": "steps/s",
                     "note": "ball-constrained LS leader via running "
-                            "(A,b) stats, unrolled-Cholesky bisection"})
+                            "(A,b) stats; register-resident Pallas "
+                            "bisection on TPU"})
 
     Bs = 32 if small else 512
     grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))

@@ -30,6 +30,10 @@ from online_convex_optimization_tpu.ops.pallas_smart import (
     smart_regrets_packed,
     smart_sweep_packed,
 )
+from online_convex_optimization_tpu.ops.pallas_trs import (
+    ball_ls_action_pallas,
+    trs_solve_packed,
+)
 
 __all__ = [
     "normalized_hinge",
@@ -54,4 +58,6 @@ __all__ = [
     "play_packed_stream_many",
     "stream_result",
     "zero_stream_carry",
+    "ball_ls_action_pallas",
+    "trs_solve_packed",
 ]
