@@ -143,27 +143,46 @@ def _simulate_quadratic_batch(z, y, alg_flag, eta0):
     dtype = z.dtype
     is_ftrl = (alg_flag == 0)
 
-    # On TPU at f32, the trust-region solves run in the register-resident
-    # Pallas kernel (ops/pallas_trs.py): ONE HBM pass over the Gram stack
-    # instead of one per bisection iteration.  CPU / x64 (the parity
-    # track) keeps the XLA formulation.
-    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+    # ---- exact-FTL track ----
+    # On TPU at f32, the WHOLE exact-FTL game runs in the fused Pallas
+    # kernel (ops/pallas_trs.py::quadratic_regrets_packed): the running
+    # statistics live in registers, each round's trust-region action is
+    # solved in-kernel, and no O(B T d^2) Gram stack ever exists — the
+    # full-sequence statistics for the RunResult epilogue are an O(B d^2)
+    # reduction.  CPU / x64 (the parity track) keeps the all-prefix XLA
+    # formulation.
+    use_fused = jax.default_backend() == "tpu" and dtype == jnp.float32
+    if use_fused:
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            pack_sequences, unpack_result)
         from online_convex_optimization_tpu.ops.pallas_trs import (
-            ball_ls_action_pallas as _solve)
+            ball_ls_action_pallas, quadratic_regrets_packed)
+        z_pack, y_pack, _ = pack_sequences(z, y)
+        reg_ftl = unpack_result(
+            quadratic_regrets_packed(z_pack, y_pack,
+                                     lanes_per_program=2048), B)
+        # Elementwise reductions, NOT einsum: a (5, T, 5) batched matmul
+        # lowers to thousands of tiny MXU ops (measured ~100x slower than
+        # the whole game kernel).
+        A_full = jnp.sum(z[:, :, :, None] * z[:, :, None, :], axis=1)
+        b_full = jnp.sum(y[:, :, None] * z, axis=1)
+        # Last played action = minimizer of the prefix EXCLUDING round T.
+        A_lastp = A_full - z[:, -1, :, None] * z[:, -1, None, :]
+        b_lastp = b_full - y[:, -1, None] * z[:, -1]
+        x_ftl_last = ball_ls_action_pallas(A_lastp, b_lastp)
     else:
-        _solve = ball_ls_action
-
-    # ---- exact-FTL track: all prefixes at once ----
-    outers = z[:, :, :, None] * z[:, :, None, :]         # (B, T, d, d)
-    A_cum = jnp.cumsum(outers, axis=1)
-    b_cum = jnp.cumsum(y[:, :, None] * z, axis=1)
-    A_pre = jnp.concatenate([jnp.zeros((B, 1, d, d), dtype),
-                             A_cum[:, :-1]], axis=1)
-    b_pre = jnp.concatenate([jnp.zeros((B, 1, d), dtype),
-                             b_cum[:, :-1]], axis=1)
-    x_ftl = _solve(A_pre, b_pre)                         # (B, T, d)
-    q_ftl = jnp.sum(z * x_ftl, axis=-1)
-    cum_ftl = 0.5 * jnp.sum((q_ftl - y) ** 2, axis=-1)
+        outers = z[:, :, :, None] * z[:, :, None, :]     # (B, T, d, d)
+        A_cum = jnp.cumsum(outers, axis=1)
+        b_cum = jnp.cumsum(y[:, :, None] * z, axis=1)
+        A_pre = jnp.concatenate([jnp.zeros((B, 1, d, d), dtype),
+                                 A_cum[:, :-1]], axis=1)
+        b_pre = jnp.concatenate([jnp.zeros((B, 1, d), dtype),
+                                 b_cum[:, :-1]], axis=1)
+        x_ftl = ball_ls_action(A_pre, b_pre)             # (B, T, d)
+        q_ftl = jnp.sum(z * x_ftl, axis=-1)
+        cum_ftl = 0.5 * jnp.sum((q_ftl - y) ** 2, axis=-1)
+        A_full, b_full = A_cum[:, -1], b_cum[:, -1]
+        x_ftl_last = x_ftl[:, -1]
 
     # ---- FTRL track: sequential, but O(d) per step ----
     def step(carry, inp):
@@ -184,12 +203,15 @@ def _simulate_quadratic_batch(z, y, alg_flag, eta0):
     (_, cum_ftrl, _), xs = jax.lax.scan(
         step, carry0, (jnp.swapaxes(z, 0, 1), jnp.swapaxes(y, 0, 1)))
 
-    cum = jnp.where(is_ftrl, cum_ftrl, cum_ftl)
-    x_last = jnp.where(is_ftrl[:, None], xs[-1], x_ftl[:, -1])
     c = jnp.sum(y * y, axis=-1)
-    A, b = A_cum[:, -1], b_cum[:, -1]
-    x_c = _solve(A, b)                               # exact comparator
-    comp = quadratic_comparator_loss(A, b, c, x_c)
+    if use_fused:
+        x_c = ball_ls_action_pallas(A_full, b_full)  # exact comparator
+    else:
+        x_c = ball_ls_action(A_full, b_full)
+    comp = quadratic_comparator_loss(A_full, b_full, c, x_c)
+    cum_ftl_eff = (reg_ftl + comp) if use_fused else cum_ftl
+    cum = jnp.where(is_ftrl, cum_ftrl, cum_ftl_eff)
+    x_last = jnp.where(is_ftrl[:, None], xs[-1], x_ftl_last)
     return cum, comp, x_c, x_last
 
 

@@ -129,6 +129,148 @@ def trs_solve_packed(stats, *, iters: int = 60,
     return out
 
 
+def _trs_action(A, b, eps, iters):
+    """Trust-region action from register tiles: A lower-triangle list-of-
+    lists, b list; returns (x list, ||x||^2-rescaled) feasible action."""
+    d = len(b)
+    nb2 = b[0] * b[0]
+    for i in range(1, d):
+        nb2 = nb2 + b[i] * b[i]
+
+    def norm2(lam):
+        x = _chol_solve_tiles(A, b, lam + eps)
+        n2 = x[0] * x[0]
+        for i in range(1, d):
+            n2 = n2 + x[i] * x[i]
+        return n2, x
+
+    hi0 = jnp.sqrt(nb2)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        n2, _ = norm2(mid)
+        outside = n2 > 1.0
+        return (jnp.where(outside, mid, lo), jnp.where(outside, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body,
+                               (jnp.zeros_like(hi0), hi0))
+    n2, x = norm2(hi)
+    scale = jax.lax.rsqrt(jnp.maximum(n2, 1.0))
+    return [xi * scale for xi in x]
+
+
+def _quad_game_kernel(z_ref, y_ref, out_ref, st_acc, *, ct: int, d: int,
+                      nchunks: int, iters: int):
+    """Fully fused quadratic-loss exact-FTL game: the running statistics
+    (A lower triangle, b, c, cum) live in VMEM scratch / registers, the
+    per-round trust-region action is solved IN-KERNEL from the pre-update
+    statistics, and the exact comparator + regret are emitted at
+    finalize.  The (B, T, d, d) Gram stack of the two-phase formulation
+    never exists — HBM traffic is exactly one pass over (z, y).
+
+    st rows: [A tri (d(d+1)/2), b (d), c, cum]."""
+    chunk = pl.program_id(1)
+    ntri = d * (d + 1) // 2
+
+    @pl.when(chunk == 0)
+    def _init():
+        st_acc[:] = jnp.zeros_like(st_acc)
+
+    def tri(i, j):
+        return i * (i + 1) // 2 + j
+
+    def one(k, state):
+        A, b, c, cum = state
+        z_t = [z_ref[k, j].astype(jnp.float32) for j in range(d)]
+        y_t = y_ref[k].astype(jnp.float32)
+        trace = A[0][0]
+        for i in range(1, d):
+            trace = trace + A[i][i]
+        eps = (1e-6 / d) * trace + 1e-6
+        x = _trs_action(A, b, eps, iters)
+        q = x[0] * z_t[0]
+        for i in range(1, d):
+            q = q + x[i] * z_t[i]
+        r = q - y_t
+        cum = cum + r * r                    # un-halved; halved at the end
+        A = [[A[i][j] + z_t[i] * z_t[j] for j in range(i + 1)]
+             for i in range(d)]
+        b = [b[i] + y_t * z_t[i] for i in range(d)]
+        c = c + y_t * y_t
+        return A, b, c, cum
+
+    A0 = [[st_acc[tri(i, j)] for j in range(i + 1)] for i in range(d)]
+    b0 = [st_acc[ntri + i] for i in range(d)]
+    state0 = (A0, b0, st_acc[ntri + d], st_acc[ntri + d + 1])
+    A, b, c, cum = jax.lax.fori_loop(0, ct, one, state0)
+    for i in range(d):
+        for j in range(i + 1):
+            st_acc[tri(i, j)] = A[i][j]
+        st_acc[ntri + i] = b[i]
+    st_acc[ntri + d] = c
+    st_acc[ntri + d + 1] = cum
+
+    @pl.when(chunk == nchunks - 1)
+    def _finalize():
+        trace = A[0][0]
+        for i in range(1, d):
+            trace = trace + A[i][i]
+        eps = (1e-6 / d) * trace + 1e-6
+        x_c = _trs_action(A, b, eps, iters)
+        xa = []
+        for i in range(d):
+            s = None
+            for j in range(d):
+                a_ij = A[i][j] if j <= i else A[j][i]
+                s = a_ij * x_c[j] if s is None else s + a_ij * x_c[j]
+            xa.append(s)
+        quad = x_c[0] * xa[0]
+        dotb = x_c[0] * b[0]
+        for i in range(1, d):
+            quad = quad + x_c[i] * xa[i]
+            dotb = dotb + x_c[i] * b[i]
+        comp2 = quad - 2.0 * dotb + c        # 2 * comparator loss
+        out_ref[:] = 0.5 * (cum - comp2)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "chunk_t",
+                                             "lanes_per_program",
+                                             "interpret"))
+def quadratic_regrets_packed(z_pack, y_pack, *, iters: int = 60,
+                             chunk_t: int = 256,
+                             lanes_per_program: int = 4 * LANES,
+                             interpret: bool = False):
+    """Fused quadratic exact-FTL regret evaluation on packed sequences
+    ((T, d, S, B) / (T, S, B) f32, pack_sequences layout).  Returns
+    (S, B) regrets vs the exact full-sequence comparator."""
+    from online_convex_optimization_tpu.ops.pallas_game import _choose_tiles
+
+    T, d, S, B = z_pack.shape
+    assert S == SUBLANES, S
+    lanes, ct, _, nchunks, nb = _choose_tiles(
+        B, T, d, lanes_per_program, chunk_t, 1, sublanes=S, itemsize=4)
+    n_st = d * (d + 1) // 2 + d + 2
+
+    kernel = functools.partial(_quad_game_kernel, ct=ct, d=d,
+                               nchunks=nchunks, iters=iters)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nchunks),
+        in_specs=[
+            pl.BlockSpec((ct, d, S, lanes), lambda i, j: (j, 0, 0, i)),
+            pl.BlockSpec((ct, S, lanes), lambda i, j: (j, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((S, lanes), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_st, S, lanes), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(z_pack, y_pack)
+    return out
+
+
 def pack_stats(A: jnp.ndarray, b: jnp.ndarray):
     """(N, d, d) Gram stack + (N, d) linear terms -> packed kernel layout
     ((d*d + d, S, B'), N) with the lane order of ``pack_sequences``."""

@@ -178,3 +178,30 @@ def test_trs_kernel_batch_roundtrip():
     got = np.asarray(ball_ls_action_pallas(A, b, interpret=True))
     want = np.asarray(ball_ls_action(A, b))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_quadratic_game_kernel_matches_f64_truth():
+    """The fully fused quadratic game kernel (running statistics in
+    registers, per-round trust-region solve in-kernel, no Gram stack)
+    tracks the f64 ground truth within the inherent f32 trajectory noise
+    of ill-conditioned early prefixes — as tightly as the XLA f32 path."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_sequences, unpack_result)
+    from online_convex_optimization_tpu.ops.pallas_trs import (
+        quadratic_regrets_packed)
+
+    rng = np.random.default_rng(0)
+    B, T, d = 64, 48, 5
+    z = rng.normal(size=(B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = (z @ (np.ones(d) / np.sqrt(d))
+         + 0.2 * rng.normal(size=(B, T))).astype(np.float32)
+    zp, yp, _ = pack_sequences(jnp.asarray(z, jnp.float32),
+                               jnp.asarray(y, jnp.float32))
+    kern = np.asarray(unpack_result(
+        quadratic_regrets_packed(zp, yp, interpret=True), B))
+    truth = np.asarray(simulate_quadratic_batch(
+        z.astype(np.float64), y.astype(np.float64), 1, 1.0).regret)
+    # Measured on this seed: kernel 0.016 vs f64, XLA-f32 0.025 vs f64.
+    assert np.abs(kern - truth).max() < 0.05
+    assert abs(kern.mean() - truth.mean()) < 2e-3
