@@ -298,7 +298,7 @@ def main():
     # FTL from running (A, b) statistics — per-step d x d eigh in a scan.
     from online_convex_optimization_tpu.models.quadratic import (
         simulate_quadratic_batch)
-    Bq, Tq = (64, 256) if small else (1024, 512)
+    Bq, Tq = (64, 256) if small else (4096, 1024)
     yq = (np.einsum("btd,d->bt", z[:Bq, :Tq],
                     np.full(5, 1 / np.sqrt(5.0), np.float32))
           + 0.1 * rng.standard_normal((Bq, Tq))).astype(np.float32)
@@ -309,8 +309,8 @@ def main():
     records.append({"metric": "quadratic_exact_ftl_steps_per_s",
                     "value": Bq * Tq / secs, "unit": "steps/s",
                     "note": "ball-constrained LS leader via running "
-                            "(A,b) stats; register-resident Pallas "
-                            "bisection on TPU"})
+                            "(A,b) stats; fused game kernel on TPU "
+                            "(in-register stats + in-kernel solves)"})
 
     Bs = 32 if small else 512
     grid = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
