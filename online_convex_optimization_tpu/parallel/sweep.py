@@ -161,6 +161,22 @@ def sharded_smart_pallas(mesh: Mesh, z_pack, y_pack, thresh_pack, eta_pack,
     return run(z_pack, y_pack, thresh_pack, eta_pack)
 
 
+def sharded_quadratic_regrets(mesh: Mesh, z, y, *, alg_flag: int = 1,
+                              eta0: float = 1.0):
+    """Quadratic-track regrets under shard_map ((B, T, d) API; the
+    exact-FTL game is embarrassingly parallel over sequences, so the
+    batch shards over the whole mesh with no collectives)."""
+    from online_convex_optimization_tpu.models.quadratic import (
+        simulate_quadratic_batch)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(_BOTH), P(_BOTH)),
+             out_specs=P(_BOTH), check_vma=False)
+    def run(z_loc, y_loc):
+        return simulate_quadratic_batch(z_loc, y_loc, alg_flag, eta0).regret
+
+    return run(z, y)
+
+
 def sharded_stream_step(mesh: Mesh, z_pack, y_pack, eta, t0, carry, *,
                         alg_flag: int = 0, interpret: bool = False):
     """One streaming advance (ops/pallas_game.py::play_packed_stream) under

@@ -209,13 +209,10 @@ def test_sharded_stream_step_matches_unsharded():
 def test_sharded_quadratic_matches_local():
     """Quadratic track under shard_map (pure elementwise + scan — no
     collectives needed until the reduction)."""
-    from functools import partial
-
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     from online_convex_optimization_tpu.models.quadratic import (
         simulate_quadratic_batch)
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_quadratic_regrets)
 
     n = len(jax.devices())
     B, T, d = 8 * n, 48, 5
@@ -225,12 +222,7 @@ def test_sharded_quadratic_matches_local():
     y = (z @ (np.ones(d) / np.sqrt(d))
          + 0.1 * rng.normal(size=(B, T))).astype(np.float32)
     mesh = make_mesh(n, 1)
-
-    @partial(shard_map, mesh=mesh, in_specs=(P(("data", "hyper")),) * 2,
-             out_specs=P(("data", "hyper")), check_vma=False)
-    def run(z_loc, y_loc):
-        return simulate_quadratic_batch(z_loc, y_loc, 1, 1.0).regret
-
-    got = np.asarray(run(jnp.asarray(z), jnp.asarray(y)))
+    got = np.asarray(sharded_quadratic_regrets(mesh, jnp.asarray(z),
+                                               jnp.asarray(y)))
     want = np.asarray(simulate_quadratic_batch(z, y, 1, 1.0).regret)
     np.testing.assert_allclose(got, want, atol=1e-5)
