@@ -205,3 +205,48 @@ def test_fused_quadratic_game_kernel_matches_f64_truth():
     # Measured on this seed: kernel 0.016 vs f64, XLA-f32 0.025 vs f64.
     assert np.abs(kern - truth).max() < 0.05
     assert abs(kern.mean() - truth.mean()) < 2e-3
+
+
+@pytest.mark.requires_tpu
+def test_trs_kernel_on_chip_matches_xla():
+    """Real-TPU trust-region kernel vs the XLA bisection (objectives on
+    singular systems, vectors on full-rank)."""
+    from online_convex_optimization_tpu.ops.pallas_trs import (
+        ball_ls_action_pallas)
+    rng = np.random.default_rng(9)
+    N, d = 1024, 5
+    M = rng.normal(size=(N, d, d)).astype(np.float32)
+    A = jnp.asarray(M @ M.transpose(0, 2, 1))       # full rank
+    b = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    got = np.asarray(ball_ls_action_pallas(A, b))
+    want = np.asarray(ball_ls_action(A, b))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    assert (np.linalg.norm(got, axis=-1) <= 1.0 + 1e-5).all()
+
+
+@pytest.mark.requires_tpu
+def test_fused_quadratic_game_on_chip():
+    """The fused quadratic game on the real chip: RunResult invariants and
+    agreement with the interpret-mode kernel."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        pack_sequences, unpack_result)
+    from online_convex_optimization_tpu.ops.pallas_trs import (
+        quadratic_regrets_packed)
+    rng = np.random.default_rng(2)
+    B, T, d = 1024, 128, 5
+    z = rng.normal(size=(B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = (z @ (np.ones(d) / np.sqrt(d))
+         + 0.1 * rng.normal(size=(B, T))).astype(np.float32)
+    res = simulate_quadratic_batch(z, y, 1, 1.0)
+    reg = np.asarray(res.regret)
+    assert np.isfinite(reg).all()
+    np.testing.assert_allclose(
+        np.asarray(res.cum_loss),
+        reg + np.asarray(res.comp_loss), atol=1e-3)
+    assert (np.linalg.norm(np.asarray(res.x_last), axis=-1)
+            <= 1.0 + 1e-5).all()
+    zp, yp, _ = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    interp = np.asarray(unpack_result(
+        quadratic_regrets_packed(zp, yp, interpret=True), B))
+    np.testing.assert_allclose(reg, interp, atol=5e-3)
