@@ -4,8 +4,9 @@ The quadratic track's exact FTL (models/quadratic.py) solves, per prefix,
 
     argmin_{||x|| <= 1}  0.5 x^T A x - b^T x
 
-by bisection on the trust-region multiplier, each step one d-unrolled
-Cholesky ridge solve.  The XLA formulation re-reads the (N, d, d) Gram
+on the trust-region multiplier, each step one d-unrolled Cholesky
+ridge solve (the kernels use a safeguarded More-Sorensen Newton
+iteration — ~12 steps to f32 precision where bisection needs ~60).  The XLA formulation re-reads the (N, d, d) Gram
 stack from HBM on EVERY bisection iteration (~60 passes — measured
 HBM-bound at ~3e7 solves/s).  This kernel loads each prefix's statistics
 into registers ONCE and runs the whole bisection there: one HBM pass
@@ -59,46 +60,23 @@ def _chol_solve_tiles(A, b, lam):
 
 
 def _trs_kernel(stats_ref, x_ref, *, d: int, iters: int):
-    """One lane-block of trust-region solves, bisection entirely in
-    registers.  stats rows: [A row-major (d*d), b (d)]."""
+    """One lane-block of trust-region solves, entirely in registers
+    (safeguarded Newton; see _trs_action).  stats rows:
+    [A row-major (d*d), b (d)]."""
     A = [[stats_ref[i * d + j] for j in range(d)] for i in range(d)]
     b = [stats_ref[d * d + i] for i in range(d)]
-
     tr = A[0][0]
-    nb2 = b[0] * b[0]
     for i in range(1, d):
         tr = tr + A[i][i]
-        nb2 = nb2 + b[i] * b[i]
     eps = (1e-6 / d) * tr + 1e-6          # ridge floor (f32), SPD always
-
-    def norm2(lam):
-        x = _chol_solve_tiles(A, b, lam + eps)
-        n2 = x[0] * x[0]
-        for i in range(1, d):
-            n2 = n2 + x[i] * x[i]
-        return n2, x
-
-    hi0 = jnp.sqrt(nb2)                    # [0, ||b||] brackets lam*
-    lo0 = jnp.zeros_like(hi0)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        n2, _ = norm2(mid)
-        outside = n2 > 1.0
-        return (jnp.where(outside, mid, lo), jnp.where(outside, hi, mid))
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
-    n2, x = norm2(hi)
-    # Exact feasibility: project the boundary case onto the sphere.
-    scale = jax.lax.rsqrt(jnp.maximum(n2, 1.0))
+    x = _trs_action(A, b, eps, iters)
     for i in range(d):
-        x_ref[i] = x[i] * scale
+        x_ref[i] = x[i]
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "lanes_per_program",
                                              "interpret"))
-def trs_solve_packed(stats, *, iters: int = 60,
+def trs_solve_packed(stats, *, iters: int = 12,
                      lanes_per_program: int = 4 * LANES,
                      interpret: bool = False):
     """Solve a packed batch of trust-region problems.
@@ -129,33 +107,98 @@ def trs_solve_packed(stats, *, iters: int = 60,
     return out
 
 
+def _chol_factor_tiles(A, lam):
+    """Cholesky factor of A + lam I on register tiles (lower triangle)."""
+    d = len(A)
+    L = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = A[i][j] + (lam if i == j else 0.0)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _fwd_solve(L, b):
+    d = len(b)
+    v = []
+    for i in range(d):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * v[k]
+        v.append(s / L[i][i])
+    return v
+
+
+def _bwd_solve(L, v):
+    d = len(v)
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = v[i]
+        for k in range(i + 1, d):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
 def _trs_action(A, b, eps, iters):
-    """Trust-region action from register tiles: A lower-triangle list-of-
-    lists, b list; returns (x list, ||x||^2-rescaled) feasible action."""
+    """Trust-region action from register tiles via safeguarded
+    MORE-SORENSEN NEWTON on the secular equation (superlinear; the
+    problem is convex so there is no hard case).  Per iteration: one
+    Cholesky factorization, one full solve for x(lam), and one extra
+    FORWARD solve q = L^{-1} x that yields the exact Newton step
+
+        lam+ = lam + (||x||^2/||q||^2) * (||x|| - 1),
+
+    clamped into a maintained bracket [lo, hi] (bisection fallback), so
+    convergence is guaranteed.  ~12 iterations reach f32 precision where
+    plain bisection needs ~60 (each iteration here costs ~1.5x one
+    bisection step => ~3x fewer ops total).  A lower-triangle
+    list-of-lists, b list; returns the feasible action tiles."""
     d = len(b)
     nb2 = b[0] * b[0]
     for i in range(1, d):
         nb2 = nb2 + b[i] * b[i]
+    hi0 = jnp.sqrt(nb2)                    # [0, ||b||] brackets lam*
+    zero = jnp.zeros_like(hi0)
 
-    def norm2(lam):
-        x = _chol_solve_tiles(A, b, lam + eps)
+    def body(_, carry):
+        lam, lo, hi = carry
+        L = _chol_factor_tiles(A, lam + eps)
+        x = _bwd_solve(L, _fwd_solve(L, b))
         n2 = x[0] * x[0]
         for i in range(1, d):
             n2 = n2 + x[i] * x[i]
-        return n2, x
-
-    hi0 = jnp.sqrt(nb2)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        n2, _ = norm2(mid)
+        q = _fwd_solve(L, x)
+        nq2 = q[0] * q[0]
+        for i in range(1, d):
+            nq2 = nq2 + q[i] * q[i]
         outside = n2 > 1.0
-        return (jnp.where(outside, mid, lo), jnp.where(outside, hi, mid))
+        lo = jnp.where(outside, lam, lo)
+        hi = jnp.where(outside, hi, lam)
+        nrm = jnp.sqrt(n2)
+        step = (n2 / jnp.maximum(nq2, 1e-30)) * (nrm - 1.0)
+        lam_n = lam + step
+        # Safeguard: fall back to the bracket midpoint ONLY when Newton
+        # leaves the bracket STRICTLY (also catches the interior case,
+        # where lam -> lo = 0).  Equality is allowed: Newton converges to
+        # lam* monotonically from below, so a converged iterate satisfies
+        # lam_n == lo — treating that as 'bad' would throw the solution
+        # away to a stale midpoint.
+        bad = jnp.logical_or(lam_n < lo, lam_n > hi)
+        lam_n = jnp.where(bad, 0.5 * (lo + hi), lam_n)
+        return (lam_n, lo, hi)
 
-    lo, hi = jax.lax.fori_loop(0, iters, body,
-                               (jnp.zeros_like(hi0), hi0))
-    n2, x = norm2(hi)
+    lam, _, _ = jax.lax.fori_loop(0, iters, body, (zero, zero, hi0))
+    L = _chol_factor_tiles(A, lam + eps)
+    x = _bwd_solve(L, _fwd_solve(L, b))
+    n2 = x[0] * x[0]
+    for i in range(1, d):
+        n2 = n2 + x[i] * x[i]
     scale = jax.lax.rsqrt(jnp.maximum(n2, 1.0))
     return [xi * scale for xi in x]
 
@@ -237,7 +280,7 @@ def _quad_game_kernel(z_ref, y_ref, out_ref, st_acc, *, ct: int, d: int,
 @functools.partial(jax.jit, static_argnames=("iters", "chunk_t",
                                              "lanes_per_program",
                                              "interpret"))
-def quadratic_regrets_packed(z_pack, y_pack, *, iters: int = 60,
+def quadratic_regrets_packed(z_pack, y_pack, *, iters: int = 12,
                              chunk_t: int = 256,
                              lanes_per_program: int = 4 * LANES,
                              interpret: bool = False):
@@ -298,7 +341,7 @@ def unpack_x(x_pack: jnp.ndarray, N: int) -> jnp.ndarray:
 
 
 def ball_ls_action_pallas(A: jnp.ndarray, b: jnp.ndarray, *,
-                          iters: int = 60, interpret: bool = False):
+                          iters: int = 12, interpret: bool = False):
     """Drop-in batched twin of ``models.quadratic.ball_ls_action`` for
     (..., d, d) / (..., d) inputs, via the register-resident kernel."""
     batch_shape = b.shape[:-1]
