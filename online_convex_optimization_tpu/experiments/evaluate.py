@@ -243,12 +243,18 @@ def evaluate_stream_exact(
 
     for run in run_iter:
         sampler = stream_builder(run_seed=run_seed_schedule(base_seed, run))
-        for ti, T in enumerate(T_grid):
+        # Issue ALL horizon solves for this run up-front: device dispatch
+        # is asynchronous, so the accelerator crunches the queued ADMM
+        # programs while the host runs the (dominant) per-prefix polish
+        # loop below — the solves hide entirely under host work.
+        pending = []
+        for T in T_grid:
             z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
             z, y = _pad_T(z, y, T_max)
             zj, yj = jnp.asarray(z), jnp.asarray(y)
-            X, res = prefix_solve(zj, yj)      # (reps, T_max, d), (reps, T_max)
-            X = np.array(X, np.float64)        # writable host copy
+            pending.append((T, z, y, zj, yj) + tuple(prefix_solve(zj, yj)))
+        for ti, (T, z, y, zj, yj, X_dev, res) in enumerate(pending):
+            X = np.array(X_dev, np.float64)    # writable host copy
             bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate
             n_dropped += int(bad.sum())
             X[bad] = np.nan
