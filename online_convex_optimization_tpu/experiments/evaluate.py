@@ -231,6 +231,16 @@ def evaluate_stream_exact(
                                           tol=2e-4,
                                           precision=admm_precision)),
         static_argnums=())
+    # Escalation solver for cells with unconverged replicates: 3x the
+    # iteration budget.  Re-solving the whole cell keeps one compiled
+    # shape, and with the solves pipelined under the host polish the
+    # extra device time is hidden — recovering most would-be-dropped
+    # replicates instead of sentineling them.
+    prefix_solve_hard = jax.jit(jax.vmap(
+        lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm,
+                                          iters=3 * iters, tol=2e-4,
+                                          precision=admm_precision)),
+        static_argnums=())
 
     run_iter = range(runs)
     if progress:
@@ -256,6 +266,13 @@ def evaluate_stream_exact(
         for ti, (T, z, y, zj, yj, X_dev, res) in enumerate(pending):
             X = np.array(X_dev, np.float64)    # writable host copy
             bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate
+            if bad.any():
+                X2, res2 = prefix_solve_hard(zj, yj)
+                X2 = np.array(X2, np.float64)
+                bad2 = np.asarray(res2).max(axis=1) > fail_tol
+                take = bad & ~bad2              # recovered replicates
+                X[take] = X2[take]
+                bad = bad & bad2
             n_dropped += int(bad.sum())
             X[bad] = np.nan
             if polish:
