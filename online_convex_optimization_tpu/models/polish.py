@@ -174,11 +174,9 @@ def polish_solution(z: np.ndarray, y: np.ndarray, x_admm: np.ndarray,
     return best_x
 
 
-def polish_prefix_actions(z: np.ndarray, y: np.ndarray, actions: np.ndarray,
-                          norm: str = "l2",
-                          lengths: Optional[np.ndarray] = None) -> np.ndarray:
-    """Polish a (T+1, d) prefix-action trajectory row by row (row 0 is the
-    zero action and stays).  O(T) host solves of size <= (d+1)^2."""
+def _polish_prefix_actions_loop(z, y, actions, norm="l2", lengths=None):
+    """Scalar per-prefix reference implementation (kept as the oracle the
+    batched path is tested against)."""
     z = np.asarray(z, np.float64)
     y = np.asarray(y, np.float64)
     out = np.array(actions, np.float64, copy=True)
@@ -186,4 +184,184 @@ def polish_prefix_actions(z: np.ndarray, y: np.ndarray, actions: np.ndarray,
     ps = range(1, T + 1) if lengths is None else lengths
     for p in ps:
         out[p] = polish_solution(z[:p], y[:p], out[p], norm)
+    return out
+
+
+# ---------------------------------------------------------------------
+# Batched polish: all prefixes at once.
+#
+# The per-prefix loop above costs ~0.3 ms of Python per prefix — at the
+# exact-experiment scale (reps x sum_T T ~ 88k prefixes per run) it is
+# ~80% of the whole exact pipeline's wall time.  The batched path below
+# does the identical candidate construction for EVERY prefix at once:
+#   - one (n, T) residual matmul identifies all active sets,
+#   - active-row Gram matrices for all prefixes come from one masked
+#     (n, T) @ (T, d^2) BLAS matmul (running-sufficient-statistics form),
+#   - the tiny least-squares systems are solved with batched eigh-based
+#     pseudo-inverses (+ one iterative-refinement step),
+#   - every candidate is verified exactly as in polish_solution
+#     (feasibility + true f64 objective), so the polish still never loses.
+# ---------------------------------------------------------------------
+
+_EPS = float(np.finfo(np.float64).eps)
+
+
+def _batch_pinv_apply(G, rhs, rows, cols):
+    """Min-norm least-squares solve for n stacked systems given their
+    normal matrices G (n, d, d) and right-hand sides M^T b = rhs (n, d).
+
+    ``rows``/``cols`` give each system's row/column counts for the
+    lstsq-compatible singular-value cutoff eps * max(rows, cols) * smax.
+    Returns (x, null_mask, V) where null_mask (n, d) marks eigenvectors
+    treated as null space and V holds the eigenvectors.
+    """
+    lam, V = np.linalg.eigh(G)
+    lam = np.maximum(lam, 0.0)
+    # Rank cutoff in EIGENVALUE space: a formed Gram matrix carries
+    # O(eps * lam_max) rounding noise in its spectrum, so the lstsq-style
+    # singular-value cutoff (eps * max(m,n) * smax, i.e. eps^2-relative on
+    # lam) would keep pure-noise eigenvalues and amplify them by 1/lam.
+    cut = _EPS * np.maximum(rows, cols) * lam[:, -1]
+    keep = lam > cut[:, None]
+    inv_lam = np.where(keep, np.divide(1.0, lam, out=np.ones_like(lam),
+                                       where=lam > 0.0), 0.0)
+
+    def apply(b):
+        return np.einsum("nij,nj->ni", V, inv_lam * np.einsum(
+            "nij,ni->nj", V, b))
+
+    x = apply(rhs)
+    # One iterative-refinement step (the normal equations square the
+    # condition number; refinement recovers most of the lost digits).
+    x = x + apply(rhs - np.einsum("nij,nj->ni", G, x))
+    return x, ~keep, V
+
+
+def _masked_max(mask, vals):
+    return np.where(mask, vals, 0.0).max(axis=1) if vals.size else \
+        np.zeros(vals.shape[0])
+
+
+def polish_prefix_actions(z: np.ndarray, y: np.ndarray, actions: np.ndarray,
+                          norm: str = "l2",
+                          lengths: Optional[np.ndarray] = None) -> np.ndarray:
+    """Polish a (T+1, d) prefix-action trajectory (row 0 is the zero action
+    and stays), all prefixes batched; each prefix's result is verified in
+    f64 and can only improve on the input action."""
+    z = np.asarray(z, np.float64)
+    y = np.asarray(y, np.float64)
+    out = np.array(actions, np.float64, copy=True)
+    T_all = z.shape[0]
+    d = z.shape[1]
+    P = np.arange(1, T_all + 1) if lengths is None \
+        else np.asarray(list(lengths), np.int64)
+    if P.size == 0:
+        return out
+    T = int(P.max())                      # padded tail rows never enter
+    z = z[:T]
+    y = y[:T]
+
+    X0 = out[P]                                          # (n, d)
+    n = X0.shape[0]
+    zT = np.ascontiguousarray(z.T)
+    R = X0 @ zT - y[None, :]                             # (n, T)
+    absR = np.abs(R)
+    Vm = np.arange(T)[None, :] < P[:, None]              # valid rows per prefix
+    best_f = 0.5 * np.where(Vm, absR, 0.0).sum(axis=1)
+    best_x = X0.copy()
+    ZZ = (z[:, :, None] * z[:, None, :]).reshape(T, d * d)
+
+    # Active-set masks are NESTED across the decreasing tolerance ladder,
+    # so a prefix whose active-row count equals the previous rung's has an
+    # IDENTICAL mask — its candidate was already considered.  Each rung
+    # therefore processes only the changed rows (first rung: all rows).
+    counts = np.stack([((absR <= tol) & Vm).sum(axis=1)
+                       for tol in _ACTIVE_TOLS])         # (n_tols, n)
+
+    for ti, tol in enumerate(_ACTIVE_TOLS):
+        idx = np.flatnonzero(counts[ti] != counts[ti - 1]) if ti else \
+            np.arange(n)
+        if idx.size == 0:
+            continue
+        Rs = R[idx]
+        Vms = Vm[idx]
+        X0s = X0[idx]
+        A = Vms & (np.abs(Rs) <= tol)                    # active rows
+        Af = A.astype(np.float64)
+        m_rows = counts[ti, idx].astype(np.float64)
+        G = (Af @ ZZ).reshape(idx.size, d, d)            # sum_active z z^T
+        zy = (Af * y[None, :]) @ z                       # sum_active y z
+
+        def consider(xc, valid, idx=idx, Vms=Vms):
+            """Exact verification: true objective, keep improvements only."""
+            f = 0.5 * np.where(Vms, np.abs(xc @ zT - y[None, :]),
+                               0.0).sum(axis=1)
+            take = valid & (f < best_f[idx])
+            rows = idx[take]
+            best_x[rows] = xc[take]
+            best_f[rows] = f[take]
+
+        if norm == "l2":
+            sig = np.where(Vms & ~A, np.sign(Rs), 0.0)
+            g = 0.5 * (sig @ z)                          # linear part on the face
+            x_par, nullm, V = _batch_pinv_apply(G, zy, m_rows, float(d))
+            cons = _masked_max(A, np.abs(x_par @ zT - y[None, :])) <= 1e-9
+            room = 1.0 - np.einsum("ni,ni->n", x_par, x_par)
+            ok = cons & (room >= -1e-12)
+            cg = np.where(nullm, np.einsum("nij,ni->nj", V, g), 0.0)
+            ngn = np.linalg.norm(cg, axis=1)
+            move = (ngn > 1e-12) & (room > 0.0)
+            step = np.where(move, np.sqrt(np.maximum(room, 0.0)) /
+                            np.maximum(ngn, 1e-300), 0.0)
+            xc = x_par - np.einsum("nij,nj->ni", V, cg) * step[:, None]
+            nx = np.linalg.norm(xc, axis=1)
+            ok &= nx <= 1.0 + 1e-9
+            xc = xc / np.maximum(nx, 1.0)[:, None]
+            consider(xc, ok)
+
+        elif norm == "linf":
+            for pt in (1e-6, 1e-5, 1e-4):
+                pinned = np.abs(X0s) > 1.0 - pt          # (m, d)
+                free = ~pinned
+                b = np.where(pinned, np.sign(X0s), 0.0)
+                nf = free.sum(axis=1).astype(np.float64)
+                fo = free[:, :, None] & free[:, None, :]
+                Gf = np.where(fo, G, 0.0)
+                rhs = np.where(free, zy - np.einsum("nij,nj->ni", G, b), 0.0)
+                xf, _, _ = _batch_pinv_apply(Gf, rhs, m_rows, nf)
+                xc = b + np.where(free, xf, 0.0)
+                ok = m_rows >= nf                        # else under-determined face
+                ok &= _masked_max(A, np.abs(xc @ zT - y[None, :])) <= 1e-9
+                ok &= np.abs(xc).max(axis=1) <= 1.0 + 1e-9
+                consider(np.clip(xc, -1.0, 1.0), ok)
+
+        elif norm == "l1":
+            support = np.abs(X0s) > 1e-6
+            ns = support.sum(axis=1).astype(np.float64)
+            s = np.where(support, np.sign(X0s), 0.0)
+            tight = np.abs(X0s).sum(axis=1) > 1.0 - 1e-6
+            tf = tight.astype(np.float64)
+            so = support[:, :, None] & support[:, None, :]
+            Gs = np.where(so, G + tf[:, None, None] * s[:, :, None] *
+                          s[:, None, :], 0.0)
+            rhs = np.where(support, zy + tf[:, None] * s, 0.0)
+            xs, _, _ = _batch_pinv_apply(Gs, rhs, m_rows + tf, ns)
+            xc = np.where(support, xs, 0.0)
+            ok = (m_rows + tf) >= ns                     # row-count check
+            ok &= _masked_max(A, np.abs(xc @ zT - y[None, :])) <= 1e-9
+            ok &= ~tight | (np.abs(np.einsum("ni,ni->n", s, xc) - 1.0)
+                            <= 1e-9)
+            # ns == 0: the zero action, valid only with no active rows.
+            empty = ns == 0
+            xc[empty] = 0.0
+            ok = np.where(empty, m_rows == 0, ok)
+            l1 = np.abs(xc).sum(axis=1)
+            ok &= l1 <= 1.0 + 1e-9
+            xc = xc / np.maximum(l1, 1.0)[:, None]
+            consider(xc, ok)
+
+        else:
+            raise ValueError(norm)
+
+    out[P] = best_x
     return out
