@@ -5,7 +5,7 @@
 PY := python
 
 .PHONY: test test-tpu bench bench-suite experiment experiment-exact \
-        dryrun native clean
+        pod-demo dryrun native clean
 
 test:            ## full CPU suite (parity, kernels in interpret mode, sharding)
 	$(PY) -m pytest tests/ -q
@@ -26,6 +26,10 @@ experiment:      ## reference-scale pipeline (figures + results.json)
 experiment-exact:## exact-FTL pipeline (exact_ftl_driver.py equivalent)
 	$(PY) -m online_convex_optimization_tpu.experiments.driver \
 	    --exact --g-runs 200 --out-dir results
+
+pod-demo:        ## pod-scale g sweep (1M device-generated seqs x eta grid)
+	$(PY) -m online_convex_optimization_tpu.experiments.pod_demo \
+	    --out results/pod_scale_demo.json
 
 dryrun:          ## single-chip entry + multi-chip dry run
 	$(PY) __graft_entry__.py

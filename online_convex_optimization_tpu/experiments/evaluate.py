@@ -251,18 +251,27 @@ def evaluate_stream_exact(
         except ImportError:
             pass
 
-    for run in run_iter:
-        sampler = stream_builder(run_seed=run_seed_schedule(base_seed, run))
-        # Issue ALL horizon solves for this run up-front: device dispatch
+    def issue(run):
+        # Issue ALL horizon solves for one run up-front: device dispatch
         # is asynchronous, so the accelerator crunches the queued ADMM
-        # programs while the host runs the (dominant) per-prefix polish
-        # loop below — the solves hide entirely under host work.
+        # programs while the host runs the per-prefix polish loop below.
+        sampler = stream_builder(run_seed=run_seed_schedule(base_seed, run))
         pending = []
         for T in T_grid:
             z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
             z, y = _pad_T(z, y, T_max)
             zj, yj = jnp.asarray(z), jnp.asarray(y)
             pending.append((T, z, y, zj, yj) + tuple(prefix_solve(zj, yj)))
+        return pending
+
+    pend_next = issue(0) if runs else []
+    for run in run_iter:
+        pending = pend_next
+        if run + 1 < runs:
+            # Prefetch: queue the NEXT run's solves before consuming this
+            # run's results, so the device stays busy through the host
+            # polish (cross-run pipelining; device is the critical path).
+            pend_next = issue(run + 1)
         for ti, (T, z, y, zj, yj, X_dev, res) in enumerate(pending):
             X = np.array(X_dev, np.float64)    # writable host copy
             bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate

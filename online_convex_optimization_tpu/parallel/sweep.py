@@ -14,6 +14,7 @@ cross-device statistics are reduced with XLA collectives over ICI:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -204,6 +205,80 @@ def sharded_stream_step(mesh: Mesh, z_pack, y_pack, eta, t0, carry, *,
                                   alg_flag=alg_flag, interpret=interpret)
 
     return run(z_pack, y_pack, *carry)
+
+
+def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
+                        blocks_per_device: int, lane_batch: int = 8192,
+                        seed0: int = 0, alg_flag: int = 0,
+                        interpret: bool = False, regret_fn=None):
+    """Pod-scale empirical-g sweep (BASELINE config 5): millions of
+    sequences x a step-size grid, with data GENERATED IN-KERNEL.
+
+    Axis layout:
+      - ``hyper`` axis shards the eta grid (``len(eta_grid)`` divisible by
+        the axis size);
+      - ``data`` axis owns disjoint PRNG seed blocks — every data shard
+        evaluates its local etas on its own sequences, and the per-eta
+        worst case reduces with ``lax.pmax`` over the data axis
+        (algorithms.py:166-169's max, distributed).
+
+    Seeds depend only on the data-axis index, so every eta is scored on
+    the SAME sequence population (common random numbers) regardless of the
+    mesh shape: ``g(mesh=(D, H), blocks=b)`` equals
+    ``g(mesh=(1, 1), blocks=D * b)`` exactly.  Sequences are Rademacher
+    rows scaled 1/sqrt(d) drawn by the on-core PRNG
+    (ops/pallas_game.py::synthetic_regrets) — zero HBM data traffic, so
+    nothing is transferred or stored at any scale.
+
+    Returns (len(eta_grid),) worst-case regrets.  Total sequences per eta
+    = data_axis_size * blocks_per_device * 8 * lane_batch.
+
+    ``regret_fn(seed, eta, *, T, lane_batch, alg_flag, interpret)``
+    defaults to the Pallas kernel; injectable because the on-core PRNG has
+    no CPU lowering — virtual-mesh tests validate the sharding/collective
+    logic with a stand-in while the kernel path is TPU-gated.
+    """
+    if regret_fn is None:
+        from online_convex_optimization_tpu.ops.pallas_game import (
+            synthetic_regrets)
+        regret_fn = synthetic_regrets
+
+    etas = jnp.asarray(eta_grid, jnp.float32)
+    n_hyper = mesh.shape[HYPER_AXIS]
+    if etas.shape[0] % n_hyper:
+        raise ValueError(f"len(eta_grid)={etas.shape[0]} not divisible by "
+                         f"hyper axis size {n_hyper}")
+    return _synthetic_g_program(mesh, T, blocks_per_device, lane_batch,
+                                seed0, alg_flag, interpret, regret_fn)(etas)
+
+
+@functools.lru_cache(maxsize=64)
+def _synthetic_g_program(mesh, T, blocks_per_device, lane_batch, seed0,
+                         alg_flag, interpret, regret_fn):
+    # Cached per static config: a fresh shard_map closure per call would
+    # retrace (and remote-recompile) every invocation.
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(HYPER_AXIS),),
+             out_specs=P(HYPER_AXIS), check_vma=False)
+    def run(etas_loc):
+        dev = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+
+        def per_eta(eta):
+            def body(b, acc):
+                # Disjoint seed blocks: the kernel consumes
+                # seed + program_id * nchunks + chunk, far below 2^20.
+                seed = seed0 + ((dev * blocks_per_device + b) << 20)
+                r = regret_fn(seed, eta, T=T, lane_batch=lane_batch,
+                              alg_flag=alg_flag, interpret=interpret)
+                return jnp.maximum(acc, jnp.max(r))
+
+            return jax.lax.fori_loop(0, blocks_per_device, body,
+                                     jnp.float32(-jnp.inf))
+
+        g_loc = jax.lax.map(per_eta, etas_loc)
+        return jax.lax.pmax(g_loc, DATA_AXIS)
+
+    return run
 
 
 def mean_and_ci(stats, z_value: float = 1.96):

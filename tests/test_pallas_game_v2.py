@@ -11,6 +11,7 @@ from online_convex_optimization_tpu.ops.pallas_game import (
     ftrl_scales,
     pack_sequences,
     simulate_linear_pallas_v2,
+    synthetic_regrets,
     unpack_result,
 )
 
@@ -270,3 +271,21 @@ def test_regrets_fused_dense_interpret_matches_scan():
                                             0, 1.3).regret, dtype=np.float32)
     np.testing.assert_allclose(got, general, atol=1e-6)
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.requires_tpu
+def test_sharded_synthetic_g_on_chip():
+    """Pod-scale g sweep program (BASELINE config 5) with the REAL
+    generation-fused kernel on the single-chip (1, 1) mesh: must equal an
+    explicit max over the same seed blocks."""
+    from online_convex_optimization_tpu.parallel.mesh import make_mesh
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_synthetic_g)
+
+    etas = [1.0, float(np.sqrt(2.0))]
+    g = np.asarray(sharded_synthetic_g(make_mesh(1, 1), T=64, eta_grid=etas,
+                                       blocks_per_device=2, lane_batch=128))
+    want = [max(float(np.max(np.asarray(synthetic_regrets(
+        b << 20, eta, T=64, lane_batch=128)))) for b in range(2))
+        for eta in etas]
+    np.testing.assert_allclose(g.astype(np.float64), want, rtol=1e-6)

@@ -226,3 +226,47 @@ def test_sharded_quadratic_matches_local():
                                                jnp.asarray(y)))
     want = np.asarray(simulate_quadratic_batch(z, y, 1, 1.0).regret)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------
+# Pod-scale synthetic g sweep (BASELINE config 5): mesh-shape invariance
+# of the (data-sharded seeds, hyper-sharded eta grid, pmax) program.  The
+# on-core PRNG kernel has no CPU lowering, so the collective/seed logic
+# is validated with a deterministic stand-in; the kernel path itself is
+# exercised by the TPU-gated twin in test_pallas_game_v2.
+# ---------------------------------------------------------------------
+
+def _fake_synth_regrets(seed, eta, *, T, lane_batch, alg_flag, interpret):
+    key = jax.random.fold_in(jax.random.key(T + 31 * alg_flag),
+                             jnp.asarray(seed, jnp.int32) >> 20)
+    base = jax.random.uniform(key, (8, lane_batch), jnp.float32)
+    return base * eta
+
+
+def test_sharded_synthetic_g_mesh_invariant():
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_synthetic_g)
+
+    etas = jnp.asarray([0.5, 1.0, 1.5, 2.0], jnp.float32)
+    g8 = sharded_synthetic_g(make_mesh(4, 2), T=32, eta_grid=etas,
+                             blocks_per_device=2, lane_batch=16,
+                             regret_fn=_fake_synth_regrets)
+    g1 = sharded_synthetic_g(make_mesh(1, 1), T=32, eta_grid=etas,
+                             blocks_per_device=8, lane_batch=16,
+                             regret_fn=_fake_synth_regrets)
+    np.testing.assert_array_equal(np.asarray(g8), np.asarray(g1))
+    # Explicit max over the same 8 seed blocks, per eta.
+    want = [max(float(jnp.max(_fake_synth_regrets(
+        b << 20, float(eta), T=32, lane_batch=16, alg_flag=0,
+        interpret=False))) for b in range(8)) for eta in np.asarray(etas)]
+    np.testing.assert_allclose(np.asarray(g8, np.float64), want, rtol=1e-6)
+
+
+def test_sharded_synthetic_g_eta_divisibility():
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_synthetic_g)
+
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_synthetic_g(make_mesh(4, 2), T=16, eta_grid=[1.0, 2.0, 3.0],
+                            blocks_per_device=1, lane_batch=16,
+                            regret_fn=_fake_synth_regrets)
