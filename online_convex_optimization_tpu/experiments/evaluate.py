@@ -231,15 +231,16 @@ def evaluate_stream_exact(
                                           tol=2e-4,
                                           precision=admm_precision)),
         static_argnums=())
-    # Escalation solver for cells with unconverged replicates: 3x the
-    # iteration budget.  Re-solving the whole cell keeps one compiled
-    # shape, and with the solves pipelined under the host polish the
-    # extra device time is hidden — recovering most would-be-dropped
-    # replicates instead of sentineling them.
+    # Escalation solver for cells with unconverged replicates: CONTINUES
+    # from the first attempt's saved ADMM state with 2x more budget (3x
+    # total ceiling) — the iteration is Markov in the state, so nothing
+    # is redone.  Recovers would-be-dropped replicates instead of
+    # sentineling them.
     prefix_solve_hard = jax.jit(jax.vmap(
-        lambda zz, yy: _admm_all_prefixes(zz, yy, norm=norm,
-                                          iters=3 * iters, tol=2e-4,
-                                          precision=admm_precision)),
+        lambda zz, yy, st: _admm_all_prefixes(zz, yy, norm=norm,
+                                              iters=2 * iters, tol=2e-4,
+                                              precision=admm_precision,
+                                              state0=st)),
         static_argnums=())
 
     run_iter = range(runs)
@@ -272,16 +273,19 @@ def evaluate_stream_exact(
             # run's results, so the device stays busy through the host
             # polish (cross-run pipelining; device is the critical path).
             pend_next = issue(run + 1)
-        for ti, (T, z, y, zj, yj, X_dev, res) in enumerate(pending):
+        for ti in range(len(pending)):
+            T, z, y, zj, yj, X_dev, res, st_dev = pending[ti]
+            pending[ti] = None  # release the (reps, T, T) ADMM state early
             X = np.array(X_dev, np.float64)    # writable host copy
             bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate
             if bad.any():
-                X2, res2 = prefix_solve_hard(zj, yj)
+                X2, res2, _ = prefix_solve_hard(zj, yj, st_dev)
                 X2 = np.array(X2, np.float64)
                 bad2 = np.asarray(res2).max(axis=1) > fail_tol
                 take = bad & ~bad2              # recovered replicates
                 X[take] = X2[take]
                 bad = bad & bad2
+            del st_dev
             n_dropped += int(bad.sum())
             X[bad] = np.nan
             if polish:

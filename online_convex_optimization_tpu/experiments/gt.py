@@ -129,12 +129,15 @@ def estimate_g_exact(
     solve = jax.jit(jax.vmap(
         lambda zz, yy: _admm_full(zz, yy, norm=norm, iters=iters,
                                   tol=2e-4, precision=admm_precision)))
-    # Escalation solver (3x budget) for chunks with unconverged solves:
-    # recovered runs stay candidates for the max instead of dropping
-    # (a diverged run COULD have been the worst case).
+    # Escalation solver for chunks with unconverged solves: warm-CONTINUES
+    # from the first attempt's state with 2x more budget (3x total
+    # ceiling, no redone iterations).  Recovered runs stay candidates for
+    # the max instead of dropping (a diverged run COULD have been the
+    # worst case).
     solve_hard = jax.jit(jax.vmap(
-        lambda zz, yy: _admm_full(zz, yy, norm=norm, iters=3 * iters,
-                                  tol=2e-4, precision=admm_precision)))
+        lambda zz, yy, st: _admm_full(zz, yy, norm=norm, iters=2 * iters,
+                                      tol=2e-4, precision=admm_precision,
+                                      state0=st)))
     T_max = max(int(t) for t in T_grid)
 
     for T in iterator:
@@ -152,19 +155,20 @@ def estimate_g_exact(
         for start in range(0, runs, chunk):
             zc = jnp.asarray(z[start:start + chunk])
             yc = jnp.asarray(y[start:start + chunk])
-            x_c, res = solve(zc, yc)                           # (n, d), (n,)
+            x_c, res, st = solve(zc, yc)                       # (n, d), (n,)
             # Failure containment (SURVEY §5): a diverged solve becomes a
             # NaN sentinel dropped from the max, never an exception inside
             # the sweep; drop_nonfinite_stats reports how many were lost.
             x_np = np.array(x_c, np.float64)
             ok_mask = np.asarray(res) <= 1e-3
             if not ok_mask.all():
-                x2, res2 = solve_hard(zc, yc)
+                x2, res2, _ = solve_hard(zc, yc, st)
                 x2 = np.array(x2, np.float64)
                 ok2 = np.asarray(res2) <= 1e-3
                 take = (~ok_mask) & ok2
                 x_np[take] = x2[take]
                 ok_mask = ok_mask | ok2
+            del st
             x_np[~ok_mask] = np.nan
             for i in np.flatnonzero(ok_mask):  # active-set polish (host)
                 x_np[i] = polish_solution(z[start + i], y[start + i],

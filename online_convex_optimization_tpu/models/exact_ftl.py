@@ -106,6 +106,7 @@ def _admm_all_prefixes(
     tol: float = 0.0,
     check_every: int = 100,
     precision: str = "highest",
+    state0=None,
 ) -> jnp.ndarray:
     """Solve the exact-FTL program for every prefix length 1..T at once.
 
@@ -117,8 +118,14 @@ def _admm_all_prefixes(
         per check); ``iters`` remains the hard cap.
       precision: MXU precision of the ITERATE matmuls (see _PRECISIONS);
         residual checks always run at HIGHEST.
+      state0: optional ADMM state to CONTINUE from (the third return
+        value of a previous call on the same data) — the iteration is
+        Markov in the state, so continuing is exactly a longer run.
+        Escalation paths use this to add budget to a hard solve without
+        redoing the spent iterations.
     Returns:
-      X: (T, d) where X[p-1] minimizes the length-p prefix objective.
+      (X, res, state): X (T, d) where X[p-1] minimizes the length-p
+      prefix objective; res (T,) residuals; state for continuation.
     """
     T, d = z.shape
     dtype = z.dtype
@@ -166,9 +173,12 @@ def _admm_all_prefixes(
         cons = jnp.max(jnp.abs(X - W), axis=1)
         return jnp.maximum(pri, cons)                      # (T,)
 
-    zeros_T = jnp.zeros((T, T), dtype=dtype)
-    zeros_d = jnp.zeros((T, d), dtype=dtype)
-    state = (zeros_d, zeros_T, zeros_T, zeros_d, zeros_d)
+    if state0 is None:
+        zeros_T = jnp.zeros((T, T), dtype=dtype)
+        zeros_d = jnp.zeros((T, d), dtype=dtype)
+        state = (zeros_d, zeros_T, zeros_T, zeros_d, zeros_d)
+    else:
+        state = state0
     if tol > 0.0:
         n_blocks = -(-iters // check_every)
 
@@ -188,7 +198,7 @@ def _admm_all_prefixes(
         state = jax.lax.fori_loop(0, iters, body, state)
     res = residuals(state)
     # Return the feasible copy (inside the ball by construction).
-    return state[3], res
+    return state[3], res, state
 
 
 @partial(jax.jit, static_argnames=("norm", "iters", "precision"))
@@ -240,11 +250,13 @@ def _admm_masked_warm(z, y, m, state, *, norm: Norm = "l2", iters: int = 80,
 def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
                rho: float = 1.0, alpha: float = 1.7, tol: float = 0.0,
                check_every: int = 100,
-               precision: str = "highest") -> jnp.ndarray:
+               precision: str = "highest", state0=None) -> jnp.ndarray:
     """Single full-sequence solve (comparator oracle): cheaper state (one
     prefix), same splitting; ``tol`` > 0 enables residual-based early
     stopping with ``iters`` as the hard cap.  ``precision`` sets the
-    iterate-matmul MXU precision (residual checks stay HIGHEST)."""
+    iterate-matmul MXU precision (residual checks stay HIGHEST).
+    ``state0`` continues a previous solve (see _admm_all_prefixes).
+    Returns (x, residual, state)."""
     T, d = z.shape
     dtype = z.dtype
     project = _PROJECT[norm]
@@ -271,9 +283,12 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
         r = jnp.matmul(z, x, precision=_HI) - y
         return jnp.maximum(jnp.max(jnp.abs(r - s)), jnp.max(jnp.abs(x - w)))
 
-    state = (jnp.zeros((d,), dtype), jnp.zeros((T,), dtype),
-             jnp.zeros((T,), dtype), jnp.zeros((d,), dtype),
-             jnp.zeros((d,), dtype))
+    if state0 is None:
+        state = (jnp.zeros((d,), dtype), jnp.zeros((T,), dtype),
+                 jnp.zeros((T,), dtype), jnp.zeros((d,), dtype),
+                 jnp.zeros((d,), dtype))
+    else:
+        state = state0
     if tol > 0.0:
         n_blocks = -(-iters // check_every)
 
@@ -291,7 +306,7 @@ def _admm_full(z, y, *, norm: Norm = "l2", iters: int = 600,
                              jnp.asarray(jnp.inf, dtype)))
     else:
         state = jax.lax.fori_loop(0, iters, body, state)
-    return state[3], residual(state)
+    return state[3], residual(state), state
 
 
 @dataclasses.dataclass
@@ -436,10 +451,19 @@ class ExactFTL:
             raise ValueError(f"expected d={self.d}, got {d}")
         if T > self.T_max:
             raise ValueError("sequence longer than T_max")
-        X, res = _admm_all_prefixes(z, y, norm=self.norm, iters=self.iters,
-                                    rho=self.rho, alpha=self.alpha,
-                                    tol=self.stop_tol,
-                                    precision=self.iter_precision)
+        X, res, state = _admm_all_prefixes(z, y, norm=self.norm,
+                                           iters=self.iters,
+                                           rho=self.rho, alpha=self.alpha,
+                                           tol=self.stop_tol,
+                                           precision=self.iter_precision)
+        res_host = np.asarray(res)
+        if res_host.size and float(res_host.max()) > self.fail_tol:
+            # Warm-continue the hard solve with 2x more budget (3x total
+            # ceiling) instead of failing outright — no redone work.
+            X, res, state = _admm_all_prefixes(
+                z, y, norm=self.norm, iters=2 * self.iters, rho=self.rho,
+                alpha=self.alpha, tol=self.stop_tol,
+                precision=self.iter_precision, state0=state)
         res_np = np.asarray(res)
         worst = float(res_np.max()) if res_np.size else 0.0
         self.last_info = {"residual": worst,
@@ -457,11 +481,19 @@ class ExactFTL:
 
     def solve_full(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Minimizer over the whole sequence (the exact comparator)."""
-        x, res = _admm_full(jnp.asarray(z), jnp.asarray(y), norm=self.norm,
-                            iters=self.iters, rho=self.rho, alpha=self.alpha,
-                            tol=self.stop_tol,
-                            precision=self.iter_precision)
+        x, res, state = _admm_full(jnp.asarray(z), jnp.asarray(y),
+                                   norm=self.norm, iters=self.iters,
+                                   rho=self.rho, alpha=self.alpha,
+                                   tol=self.stop_tol,
+                                   precision=self.iter_precision)
         res_f = float(res)
+        if res_f > self.fail_tol:
+            x, res, state = _admm_full(
+                jnp.asarray(z), jnp.asarray(y), norm=self.norm,
+                iters=2 * self.iters, rho=self.rho, alpha=self.alpha,
+                tol=self.stop_tol, precision=self.iter_precision,
+                state0=state)
+            res_f = float(res)
         self.last_info = {"residual": res_f}
         x = np.asarray(x, np.float64)
         if not self._handle_failure(res_f, "solve_full"):
