@@ -236,3 +236,29 @@ def test_fast_iter_precision_matches_highs_on_tpu(norm):
         obj_p = _obj(z[:p], y[:p], actions[p])
         obj_lp = _obj(z[:p], y[:p], _lp_solve(z[:p], y[:p], norm))
         assert obj_p <= obj_lp + 1e-8, p
+
+
+def test_admm_state_continuation_equals_longer_run():
+    """state0 continuation is EXACTLY a longer run (the iteration is
+    Markov in the state) — the warm-escalation paths rely on this."""
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.exact_ftl import (
+        _admm_all_prefixes,
+        _admm_full,
+    )
+
+    z, y = _instance(T=30, seed=12)
+    zj, yj = jnp.asarray(z), jnp.asarray(y)
+    _, _, st = _admm_all_prefixes(zj, yj, norm="l2", iters=100)
+    x_cont, res_cont, _ = _admm_all_prefixes(zj, yj, norm="l2", iters=150,
+                                             state0=st)
+    x_long, res_long, _ = _admm_all_prefixes(zj, yj, norm="l2", iters=250)
+    np.testing.assert_array_equal(np.asarray(x_cont), np.asarray(x_long))
+    np.testing.assert_array_equal(np.asarray(res_cont), np.asarray(res_long))
+
+    _, _, st1 = _admm_full(zj, yj, norm="linf", iters=80)
+    xc, rc, _ = _admm_full(zj, yj, norm="linf", iters=120, state0=st1)
+    xl, rl, _ = _admm_full(zj, yj, norm="linf", iters=200)
+    np.testing.assert_array_equal(np.asarray(xc), np.asarray(xl))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(rl))
