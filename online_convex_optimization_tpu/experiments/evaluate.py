@@ -265,23 +265,36 @@ def evaluate_stream_exact(
             pending.append((T, z, y, zj, yj) + tuple(prefix_solve(zj, yj)))
         return pending
 
+    # Prefetching keeps TWO runs' ADMM states alive ((reps, T_max, T_max)
+    # S/U per horizon, released only as cells are consumed).  Above ~4 GB
+    # of state, fall back to one run in flight — the host polish still
+    # hides under the current run's queued solves, only the cross-run
+    # overlap is lost.
+    state_bytes = (2 * len(T_grid) * replicates * 2 * T_max * T_max
+                   * np.dtype(dtype).itemsize)
+    prefetch = state_bytes <= (4 << 30)
+
     pend_next = issue(0) if runs else []
     for run in run_iter:
         pending = pend_next
-        if run + 1 < runs:
+        if prefetch and run + 1 < runs:
             # Prefetch: queue the NEXT run's solves before consuming this
             # run's results, so the device stays busy through the host
             # polish (cross-run pipelining; device is the critical path).
+            # Rare escalations do queue behind the prefetched run — a
+            # latency hiccup on already-slow cells, not lost device work.
             pend_next = issue(run + 1)
         for ti in range(len(pending)):
             T, z, y, zj, yj, X_dev, res, st_dev = pending[ti]
             pending[ti] = None  # release the (reps, T, T) ADMM state early
             X = np.array(X_dev, np.float64)    # writable host copy
-            bad = np.asarray(res).max(axis=1) > fail_tol    # per replicate
+            # NaN-safe direction: a NaN residual (diverged solve) must
+            # count as bad, so compare with <= and negate.
+            bad = ~(np.asarray(res).max(axis=1) <= fail_tol)  # per replicate
             if bad.any():
                 X2, res2, _ = prefix_solve_hard(zj, yj, st_dev)
                 X2 = np.array(X2, np.float64)
-                bad2 = np.asarray(res2).max(axis=1) > fail_tol
+                bad2 = ~(np.asarray(res2).max(axis=1) <= fail_tol)
                 take = bad & ~bad2              # recovered replicates
                 X[take] = X2[take]
                 bad = bad & bad2
@@ -313,6 +326,8 @@ def evaluate_stream_exact(
             # FTRL with the shared exact comparator.
             lin = simulate_linear_batch(zj, yj, 0, eta0)
             by_T["FTRL"][run, ti] = np.asarray(lin.cum_loss) - np.asarray(comp)
+        if not prefetch and run + 1 < runs:
+            pend_next = issue(run + 1)
 
     if n_dropped:
         logging.getLogger("oco").warning(

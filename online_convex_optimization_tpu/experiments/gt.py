@@ -155,7 +155,7 @@ def estimate_g_exact(
         for start in range(0, runs, chunk):
             zc = jnp.asarray(z[start:start + chunk])
             yc = jnp.asarray(y[start:start + chunk])
-            x_c, res, st = solve(zc, yc)                       # (n, d), (n,)
+            x_c, res, st = solve(zc, yc)            # (n, d), (n,), state
             # Failure containment (SURVEY §5): a diverged solve becomes a
             # NaN sentinel dropped from the max, never an exception inside
             # the sweep; drop_nonfinite_stats reports how many were lost.

@@ -50,8 +50,11 @@ def main(argv=None) -> dict:
         sharded_synthetic_g)
 
     n_dev = len(jax.devices())
+    if args.n_hyper > n_dev:
+        raise ValueError(f"--n-hyper {args.n_hyper} > {n_dev} devices")
     mesh = make_mesh(n_dev // args.n_hyper, args.n_hyper)
     n_data = mesh.shape["data"]
+    n_used = n_data * args.n_hyper  # devices the mesh actually covers
     per_block = 8 * args.lane_batch
     blocks = -(-args.seqs // (per_block * n_data))
     seqs = blocks * per_block * n_data
@@ -74,7 +77,7 @@ def main(argv=None) -> dict:
         "n_sequences_per_eta": seqs,
         "eta_grid": list(args.etas),
         "g_max": {f"{e:g}": float(v) for e, v in zip(args.etas, g)},
-        "devices": n_dev,
+        "devices": n_used,
         "mesh": dict(mesh.shape),
         "total_steps": steps,
         "wall_s": wall,

@@ -248,6 +248,16 @@ def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
     if etas.shape[0] % n_hyper:
         raise ValueError(f"len(eta_grid)={etas.shape[0]} not divisible by "
                          f"hyper axis size {n_hyper}")
+    # Seed blocks are strided by 2^20 in int32 space: block index 4096
+    # would wrap to block 0's seed and silently duplicate its sequence
+    # population (the kernel itself consumes seed + program*nchunks +
+    # chunk, far below 2^20 at supported shapes).
+    total_blocks = mesh.shape[DATA_AXIS] * blocks_per_device
+    if total_blocks > (1 << 12):
+        raise ValueError(
+            f"data_axis * blocks_per_device = {total_blocks} exceeds the "
+            f"4096 disjoint seed blocks available in int32 seed space; "
+            f"raise lane_batch instead of the block count")
     return _synthetic_g_program(mesh, T, blocks_per_device, lane_batch,
                                 seed0, alg_flag, interpret, regret_fn)(etas)
 

@@ -270,3 +270,15 @@ def test_sharded_synthetic_g_eta_divisibility():
         sharded_synthetic_g(make_mesh(4, 2), T=16, eta_grid=[1.0, 2.0, 3.0],
                             blocks_per_device=1, lane_batch=16,
                             regret_fn=_fake_synth_regrets)
+
+
+def test_sharded_synthetic_g_seed_block_guard():
+    """int32 seed space holds 4096 disjoint 2^20-strided blocks; beyond
+    that the sweep must refuse rather than silently duplicate data."""
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_synthetic_g)
+
+    with pytest.raises(ValueError, match="seed blocks"):
+        sharded_synthetic_g(make_mesh(4, 2), T=16, eta_grid=[1.0, 2.0],
+                            blocks_per_device=1025, lane_batch=16,
+                            regret_fn=_fake_synth_regrets)
