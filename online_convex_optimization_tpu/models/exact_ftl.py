@@ -94,7 +94,7 @@ def _soft_threshold(v: jnp.ndarray, kappa) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("norm", "iters", "check_every", "tol",
-                                   "precision"))
+                                   "precision", "band_rows"))
 def _admm_all_prefixes(
     z: jnp.ndarray,
     y: jnp.ndarray,
@@ -107,6 +107,8 @@ def _admm_all_prefixes(
     check_every: int = 100,
     precision: str = "highest",
     state0=None,
+    band_lo=None,
+    band_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Solve the exact-FTL program for every prefix length 1..T at once.
 
@@ -123,21 +125,37 @@ def _admm_all_prefixes(
         Markov in the state, so continuing is exactly a longer run.
         Escalation paths use this to add budget to a hard solve without
         redoing the spent iterations.
+      band_lo / band_rows: optional prefix banding — solve only the
+        ``band_rows`` (STATIC, fixes the compiled shape) prefix lengths
+        starting at ``band_lo`` (DYNAMIC, so one compiled program serves
+        every band — remote compiles through the TPU relay cost minutes
+        each).  Prefix problems are independent, so banding changes
+        nothing mathematically, but each band's while_loop exits when
+        ITS slowest prefix converges instead of the global one: short
+        prefixes stop iterating hundreds of iterations earlier
+        (measured 1.6x on the T=1000 iid cell).
     Returns:
-      (X, res, state): X (T, d) where X[p-1] minimizes the length-p
-      prefix objective; res (T,) residuals; state for continuation.
+      (X, res, state): X (rows, d) where X[k] minimizes the length-
+      (band_lo+k+1) prefix objective (rows = band_rows; all T without
+      banding); res (rows,) residuals; state for continuation.
     """
     T, d = z.shape
     dtype = z.dtype
     project = _PROJECT[norm]
     prec = _PRECISIONS[precision]
+    if band_rows is None:
+        rows, lo = T, jnp.zeros((), jnp.int32)
+    else:
+        rows, lo = band_rows, jnp.asarray(band_lo, jnp.int32)
 
     # Prefix masks and cumulative Gram matrices (running sufficient stats).
-    mask = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]).astype(dtype)  # (T, T), row p-1 selects i < p
+    mask = (jnp.arange(T)[None, :] <=
+            (lo + jnp.arange(rows))[:, None]).astype(dtype)  # (rows, T)
     outers = z[:, :, None] * z[:, None, :]                 # (T, d, d)
-    gram = jnp.cumsum(outers, axis=0)                      # (T, d, d)
+    gram = jax.lax.dynamic_slice_in_dim(
+        jnp.cumsum(outers, axis=0), lo, rows, axis=0)      # (rows, d, d)
     A = gram + jnp.eye(d, dtype=dtype)[None]
-    chol = jax.vmap(jnp.linalg.cholesky)(A)                # (T, d, d)
+    chol = jax.vmap(jnp.linalg.cholesky)(A)                # (rows, d, d)
 
     kappa = 0.5 / rho
 
@@ -174,8 +192,8 @@ def _admm_all_prefixes(
         return jnp.maximum(pri, cons)                      # (T,)
 
     if state0 is None:
-        zeros_T = jnp.zeros((T, T), dtype=dtype)
-        zeros_d = jnp.zeros((T, d), dtype=dtype)
+        zeros_T = jnp.zeros((rows, T), dtype=dtype)
+        zeros_d = jnp.zeros((rows, d), dtype=dtype)
         state = (zeros_d, zeros_T, zeros_T, zeros_d, zeros_d)
     else:
         state = state0

@@ -262,3 +262,32 @@ def test_admm_state_continuation_equals_longer_run():
     xl, rl, _ = _admm_full(zj, yj, norm="linf", iters=200)
     np.testing.assert_array_equal(np.asarray(xc), np.asarray(xl))
     np.testing.assert_array_equal(np.asarray(rc), np.asarray(rl))
+
+
+def test_admm_banded_matches_full():
+    """Dynamic prefix bands solve the same independent row problems: the
+    assembled banded solution must match the full-batch solve."""
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.exact_ftl import (
+        _admm_all_prefixes)
+
+    z, y = _instance(T=60, seed=15)
+    zj, yj = jnp.asarray(z), jnp.asarray(y)
+    X_full, res_full, _ = _admm_all_prefixes(zj, yj, norm="l2", iters=400,
+                                             tol=0.0)
+    X_band = np.empty((60, 5))
+    res_band = np.empty(60)
+    for lo in (0, 20, 40):
+        Xb, rb, _ = _admm_all_prefixes(zj, yj, norm="l2", iters=400,
+                                       tol=0.0, band_lo=lo, band_rows=20)
+        X_band[lo:lo + 20] = np.asarray(Xb)
+        res_band[lo:lo + 20] = np.asarray(rb)
+    np.testing.assert_allclose(X_band, np.asarray(X_full), atol=1e-6)
+    np.testing.assert_allclose(res_band, np.asarray(res_full), atol=1e-6)
+    # Overlapping tail band (the T % band_rows != 0 case): rows re-solved
+    # by two bands agree.
+    Xo, _, _ = _admm_all_prefixes(zj, yj, norm="l2", iters=400, tol=0.0,
+                                  band_lo=35, band_rows=20)
+    np.testing.assert_allclose(np.asarray(Xo), np.asarray(X_full)[35:55],
+                               atol=1e-6)
