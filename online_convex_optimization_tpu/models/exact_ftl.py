@@ -384,8 +384,9 @@ class ExactFTL:
                 jnp.zeros((self.d,)))
 
     def _handle_failure(self, res: float, where: str):
+        # <=-negation so a NaN residual counts as a failure.
         self.last_info["converged"] = res <= self.fail_tol
-        if res > self.fail_tol:
+        if not (res <= self.fail_tol):
             if self.on_fail == "raise":
                 raise RuntimeError(
                     f"exact-FTL ADMM failed to converge in {where}: "
@@ -469,24 +470,40 @@ class ExactFTL:
             raise ValueError(f"expected d={self.d}, got {d}")
         if T > self.T_max:
             raise ValueError("sequence longer than T_max")
-        X, res, state = _admm_all_prefixes(z, y, norm=self.norm,
-                                           iters=self.iters,
-                                           rho=self.rho, alpha=self.alpha,
-                                           tol=self.stop_tol,
-                                           precision=self.iter_precision)
-        res_host = np.asarray(res)
-        if res_host.size and float(res_host.max()) > self.fail_tol:
-            # Warm-continue the hard solve with 2x more budget (3x total
-            # ceiling) instead of failing outright — no redone work.
-            X, res, state = _admm_all_prefixes(
-                z, y, norm=self.norm, iters=2 * self.iters, rho=self.rho,
+        # Banding (T >= 512): independent prefix rows solve in 256-row
+        # bands, each exiting its while_loop at ITS OWN convergence
+        # (one compiled program — band_lo is dynamic).  Hard bands
+        # warm-continue with 2x more budget before failing.
+        if T >= 512:
+            rows = 256
+            los = sorted({min(b * rows, T - rows)
+                          for b in range(-(-T // rows))})
+        else:
+            rows, los = None, [None]
+        X = np.empty((T, d))
+        res = np.empty(T)
+        for lo in los:
+            Xb, rb, st = _admm_all_prefixes(
+                z, y, norm=self.norm, iters=self.iters, rho=self.rho,
                 alpha=self.alpha, tol=self.stop_tol,
-                precision=self.iter_precision, state0=state)
-        res_np = np.asarray(res)
+                precision=self.iter_precision, band_lo=lo, band_rows=rows)
+            rb_host = np.asarray(rb)
+            # NaN-safe direction: a NaN residual must count as unconverged.
+            if rb_host.size and not float(rb_host.max()) <= self.fail_tol:
+                Xb, rb, st = _admm_all_prefixes(
+                    z, y, norm=self.norm, iters=2 * self.iters,
+                    rho=self.rho, alpha=self.alpha, tol=self.stop_tol,
+                    precision=self.iter_precision, state0=st,
+                    band_lo=lo, band_rows=rows)
+            nb = Xb.shape[0]
+            start = 0 if lo is None else lo
+            X[start:start + nb] = np.asarray(Xb, np.float64)
+            res[start:start + nb] = np.asarray(rb)
+        res_np = res
         worst = float(res_np.max()) if res_np.size else 0.0
         self.last_info = {"residual": worst,
                           "n_unconverged": int((res_np > self.fail_tol).sum())}
-        X_np = np.array(X, np.float64)  # writable host copy
+        X_np = X
         ok = self._handle_failure(worst, "prefix_actions")
         if not ok:  # sentinel mode: NaN out only the unconverged prefixes
             X_np[res_np > self.fail_tol] = np.nan

@@ -291,3 +291,20 @@ def test_admm_banded_matches_full():
                                   band_lo=35, band_rows=20)
     np.testing.assert_allclose(np.asarray(Xo), np.asarray(X_full)[35:55],
                                atol=1e-6)
+
+
+def test_prefix_actions_banded_path_T512():
+    """T >= 512 routes prefix_actions through the banded solver; the
+    trajectory must stay feasible, monotone vs the full solution, and
+    consistent with solve_full at the final prefix."""
+    z, y = _instance(T=520, seed=16)
+    solver = ExactFTL(d=5, T_max=520, norm="l2", iters=1500)
+    actions = solver.prefix_actions(z, y)
+    assert actions.shape == (521, 5)
+    x_full = solver.solve_full(z, y)
+    assert _obj(z, y, actions[-1]) == pytest.approx(_obj(z, y, x_full),
+                                                    abs=1e-8)
+    for p in (1, 200, 256, 257, 400, 520):
+        assert np.linalg.norm(actions[p]) <= 1.0 + 1e-6
+        assert _obj(z[:p], y[:p], actions[p]) <= \
+            _obj(z[:p], y[:p], x_full) + 1e-8
