@@ -235,13 +235,21 @@ def evaluate_stream_exact(
     band_rows = 256 if T_max >= 512 else T_max
     band_los = sorted({min(b * band_rows, T_max - band_rows)
                        for b in range(-(-T_max // band_rows))})
-    prefix_solve = jax.jit(jax.vmap(
-        lambda zz, yy, lo: _admm_all_prefixes(zz, yy, norm=norm,
-                                              iters=3 * iters, tol=2e-4,
-                                              precision=admm_precision,
-                                              band_lo=lo,
-                                              band_rows=band_rows),
-        in_axes=(0, 0, None)))
+    band_los_arr = jnp.asarray(band_los, jnp.int32)
+
+    # ONE dispatch per cell: lax.map runs the bands sequentially inside a
+    # single compiled program (each band still owns its while_loop exit) —
+    # per-call relay dispatch/fetch costs ~35 ms each through the axon
+    # tunnel, so 4x the calls would eat the banding win.
+    @jax.jit
+    def prefix_solve(zz, yy):
+        def one(lo):
+            return jax.vmap(
+                lambda z1, y1: _admm_all_prefixes(
+                    z1, y1, norm=norm, iters=3 * iters, tol=2e-4,
+                    precision=admm_precision, band_lo=lo,
+                    band_rows=band_rows))(zz, yy)
+        return jax.lax.map(one, band_los_arr)  # leaves: (n_bands, B, ...)
     # Escalation solver for bands with unconverged replicates: CONTINUES
     # from the first attempt's saved ADMM state with 3x more budget (6x
     # total ceiling) — the iteration is Markov in the state, so nothing
@@ -274,8 +282,7 @@ def evaluate_stream_exact(
             z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
             z, y = _pad_T(z, y, T_max)
             zj, yj = jnp.asarray(z), jnp.asarray(y)
-            bands = [(lo, prefix_solve(zj, yj, lo)) for lo in band_los]
-            pending.append((T, z, y, zj, yj, bands))
+            pending.append((T, z, y, zj, yj, prefix_solve(zj, yj)))
         return pending
 
     # Prefetching keeps TWO runs' ADMM states alive ((reps, T_max, T_max)
@@ -298,18 +305,21 @@ def evaluate_stream_exact(
             # latency hiccup on already-slow cells, not lost device work.
             pend_next = issue(run + 1)
         for ti in range(len(pending)):
-            T, z, y, zj, yj, bands = pending[ti]
+            T, z, y, zj, yj, (X_dev, res_dev, st_dev) = pending[ti]
             pending[ti] = None  # release the per-band ADMM states early
             B = zj.shape[0]
             d_dim = zj.shape[2]
+            X_all = np.array(X_dev, np.float64)    # (n_bands, B, rows, d)
+            res_all = np.asarray(res_dev)          # (n_bands, B, rows)
             X = np.empty((B, T_max, d_dim))
-            bad = np.zeros(B, bool)            # per replicate
-            for lo, (Xb_dev, resb, stb) in bands:
-                Xb = np.array(Xb_dev, np.float64)
+            bad = np.zeros(B, bool)                # per replicate
+            for bi, lo in enumerate(band_los):
+                Xb = X_all[bi]
                 # NaN-safe direction: a NaN residual (diverged solve)
                 # must count as bad, so compare with <= and negate.
-                bad_b = ~(np.asarray(resb).max(axis=1) <= fail_tol)
+                bad_b = ~(res_all[bi].max(axis=1) <= fail_tol)
                 if bad_b.any():
+                    stb = jax.tree.map(lambda a, bi=bi: a[bi], st_dev)
                     Xb2, resb2, _ = prefix_solve_hard(zj, yj, stb, lo)
                     Xb2 = np.array(Xb2, np.float64)
                     bad_b2 = ~(np.asarray(resb2).max(axis=1) <= fail_tol)
@@ -320,7 +330,7 @@ def evaluate_stream_exact(
                 # overwrites rows both bands solved.
                 X[:, lo:lo + Xb.shape[1]] = Xb
                 bad |= bad_b
-                del stb
+            del st_dev
             n_dropped += int(bad.sum())
             X[bad] = np.nan
             if polish:
