@@ -36,6 +36,9 @@ class ExperimentConfig:
     # default) or "high" (bf16x3, ~2x faster iterates; the HIGHEST-precision
     # residual check + host active-set polish keep final accuracy ~1e-9).
     exact_admm_precision: str = "highest"
+    # Exact device solver: "auto"/"xla" = banded XLA ADMM; "kernel" = the
+    # VMEM-resident Pallas ADMM (l2/f32 only; measured at parity on chip).
+    exact_solver: str = "auto"
     norm: str = "l2"              # exact oracle ball (exact_ftl.py:72)
     out_dir: str = "results"
     dpi: int = 600                # matches the reference (driver.py:158)
@@ -87,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.exact_admm_precision,
                    help="MXU precision of ADMM iterate matmuls (residual "
                         "checks and final polish keep full accuracy)")
+    p.add_argument("--exact-solver", choices=["auto", "xla", "kernel"],
+                   default=d.exact_solver,
+                   help="exact device solve: banded XLA ADMM (auto) or "
+                        "the VMEM-resident Pallas kernel (l2/f32)")
     p.add_argument("--norm", choices=["l2", "linf", "l1"], default=d.norm)
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--dpi", type=int, default=d.dpi)
@@ -108,7 +115,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         runs_override=args.runs, replicates_override=args.replicates,
         precision=args.precision, exact=args.exact,
         exact_iters=args.exact_iters,
-        exact_admm_precision=args.exact_admm_precision, norm=args.norm,
+        exact_admm_precision=args.exact_admm_precision,
+        exact_solver=args.exact_solver, norm=args.norm,
         out_dir=args.out_dir, dpi=args.dpi,
         checkpoint=not args.no_checkpoint, batch_chunk=args.batch_chunk,
         check=args.check, profile_dir=args.profile_dir)

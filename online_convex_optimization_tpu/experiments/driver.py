@@ -108,7 +108,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
                     builder, cfg.T_grid, runs=runs, replicates=reps,
                     base_seed=cfg.base_seed, eta0=cfg.eta0, norm=cfg.norm,
                     iters=cfg.exact_iters, dtype=dtype, stream_name=title,
-                    admm_precision=cfg.exact_admm_precision)
+                    admm_precision=cfg.exact_admm_precision,
+                    solver=cfg.exact_solver)
             else:
                 stats_by_case[title] = evaluate_stream_with_stats(
                     builder, cfg.T_grid, g_emp, runs=runs, replicates=reps,

@@ -191,6 +191,7 @@ def evaluate_stream_exact(
     polish: bool = True,
     fail_tol: float = 1e-3,
     admm_precision: str = "highest",
+    solver: str = "auto",
 ) -> Stats:
     """Exact-FTL comparison mode (exact_ftl_driver.py:120-206): per
     scenario, solve all prefixes once (batched device ADMM + host
@@ -201,6 +202,12 @@ def evaluate_stream_exact(
     exceeds ``fail_tol`` become NaN sentinels and are dropped from the
     aggregation (logged), instead of killing the whole sweep the way the
     reference's raise would (exact_ftl.py:125-126).
+
+    ``solver``: "auto"/"xla" use the banded lax.map XLA formulation;
+    "kernel" (l2/f32 only) uses the VMEM-resident Pallas ADMM
+    (ops/pallas_admm.py) — measured at PARITY with the XLA path on chip
+    (the band solve is compute-bound, not HBM-bound), kept as the
+    validated kernel formulation of the exact track.
     """
     import logging
 
@@ -232,36 +239,64 @@ def evaluate_stream_exact(
     # converges instead of waiting for the global slowest (measured 1.6x
     # on the T=1000 iid cell).  band_lo is a DYNAMIC operand so one
     # compiled program serves every band (remote compiles cost minutes).
-    band_rows = 256 if T_max >= 512 else T_max
-    band_los = sorted({min(b * band_rows, T_max - band_rows)
-                       for b in range(-(-T_max // band_rows))})
-    band_los_arr = jnp.asarray(band_los, jnp.int32)
+    # "auto" stays on the banded XLA path: the VMEM-resident kernel
+    # MATCHES it on chip (0.91 vs 0.93 s on the T=1000 x 16-rep cell —
+    # the band solve is VPU-compute-bound, not HBM-bound, so keeping the
+    # state in VMEM buys nothing) and the XLA path also serves
+    # linf/l1/f64.  The kernel remains selectable for l2/f32.
+    use_kernel = solver == "kernel"
+    if use_kernel and (norm != "l2" or np.dtype(dtype) != np.float32):
+        raise ValueError("solver='kernel' supports norm='l2' with "
+                         "float32 data only")
+    if use_kernel:
+        # VMEM-resident Pallas ADMM: per-256-row-block while_loop exit,
+        # S/U never round-trip HBM during iterations (ops/pallas_admm.py).
+        from online_convex_optimization_tpu.ops.pallas_admm import (
+            admm_all_prefixes_l2)
 
-    # ONE dispatch per cell: lax.map runs the bands sequentially inside a
-    # single compiled program (each band still owns its while_loop exit) —
-    # per-call relay dispatch/fetch costs ~35 ms each through the axon
-    # tunnel, so 4x the calls would eat the banding win.
-    @jax.jit
-    def prefix_solve(zz, yy):
-        def one(lo):
-            return jax.vmap(
-                lambda z1, y1: _admm_all_prefixes(
-                    z1, y1, norm=norm, iters=3 * iters, tol=2e-4,
-                    precision=admm_precision, band_lo=lo,
-                    band_rows=band_rows))(zz, yy)
-        return jax.lax.map(one, band_los_arr)  # leaves: (n_bands, B, ...)
-    # Escalation solver for bands with unconverged replicates: CONTINUES
-    # from the first attempt's saved ADMM state with 3x more budget (6x
-    # total ceiling) — the iteration is Markov in the state, so nothing
-    # is redone.  Recovers would-be-dropped replicates instead of
-    # sentineling them.
-    prefix_solve_hard = jax.jit(jax.vmap(
-        lambda zz, yy, st, lo: _admm_all_prefixes(zz, yy, norm=norm,
-                                                  iters=3 * iters, tol=2e-4,
-                                                  precision=admm_precision,
-                                                  state0=st, band_lo=lo,
-                                                  band_rows=band_rows),
-        in_axes=(0, 0, 0, None)))
+        kern_interp = jax.default_backend() != "tpu"
+
+        def prefix_solve(zz, yy):
+            return admm_all_prefixes_l2(zz, yy, iters=3 * iters, tol=2e-4,
+                                        interpret=kern_interp)
+
+        def prefix_continue(zz, yy, st):
+            return admm_all_prefixes_l2(zz, yy, iters=3 * iters, tol=2e-4,
+                                        state0=st, interpret=kern_interp)
+
+        band_los = []
+    else:
+        band_rows = 256 if T_max >= 512 else T_max
+        band_los = sorted({min(b * band_rows, T_max - band_rows)
+                           for b in range(-(-T_max // band_rows))})
+        band_los_arr = jnp.asarray(band_los, jnp.int32)
+
+        # ONE dispatch per cell: lax.map runs the bands sequentially
+        # inside a single compiled program (each band still owns its
+        # while_loop exit) — per-call relay dispatch/fetch costs ~35 ms
+        # each through the axon tunnel, so 4x the calls would eat the
+        # banding win.
+        @jax.jit
+        def prefix_solve(zz, yy):
+            def one(lo):
+                return jax.vmap(
+                    lambda z1, y1: _admm_all_prefixes(
+                        z1, y1, norm=norm, iters=3 * iters, tol=2e-4,
+                        precision=admm_precision, band_lo=lo,
+                        band_rows=band_rows))(zz, yy)
+            return jax.lax.map(one, band_los_arr)  # (n_bands, B, ...)
+
+        # Escalation solver for bands with unconverged replicates:
+        # CONTINUES from the first attempt's saved ADMM state with 3x
+        # more budget (6x total ceiling) — the iteration is Markov in the
+        # state, so nothing is redone.  Recovers would-be-dropped
+        # replicates instead of sentineling them.
+        prefix_solve_hard = jax.jit(jax.vmap(
+            lambda zz, yy, st, lo: _admm_all_prefixes(
+                zz, yy, norm=norm, iters=3 * iters, tol=2e-4,
+                precision=admm_precision, state0=st, band_lo=lo,
+                band_rows=band_rows),
+            in_axes=(0, 0, 0, None)))
 
     run_iter = range(runs)
     if progress:
@@ -306,30 +341,41 @@ def evaluate_stream_exact(
             pend_next = issue(run + 1)
         for ti in range(len(pending)):
             T, z, y, zj, yj, (X_dev, res_dev, st_dev) = pending[ti]
-            pending[ti] = None  # release the per-band ADMM states early
+            pending[ti] = None  # release the ADMM states early
             B = zj.shape[0]
             d_dim = zj.shape[2]
-            X_all = np.array(X_dev, np.float64)    # (n_bands, B, rows, d)
-            res_all = np.asarray(res_dev)          # (n_bands, B, rows)
-            X = np.empty((B, T_max, d_dim))
-            bad = np.zeros(B, bool)                # per replicate
-            for bi, lo in enumerate(band_los):
-                Xb = X_all[bi]
+            if use_kernel:
+                X = np.array(X_dev, np.float64)    # (B, T_max, d)
                 # NaN-safe direction: a NaN residual (diverged solve)
                 # must count as bad, so compare with <= and negate.
-                bad_b = ~(res_all[bi].max(axis=1) <= fail_tol)
-                if bad_b.any():
-                    stb = jax.tree.map(lambda a, bi=bi: a[bi], st_dev)
-                    Xb2, resb2, _ = prefix_solve_hard(zj, yj, stb, lo)
-                    Xb2 = np.array(Xb2, np.float64)
-                    bad_b2 = ~(np.asarray(resb2).max(axis=1) <= fail_tol)
-                    take = bad_b & ~bad_b2      # recovered replicates
-                    Xb[take] = Xb2[take]
-                    bad_b = bad_b & bad_b2
-                # Overlapping tail band (T_max % band_rows != 0) simply
-                # overwrites rows both bands solved.
-                X[:, lo:lo + Xb.shape[1]] = Xb
-                bad |= bad_b
+                bad = ~(np.asarray(res_dev).max(axis=1) <= fail_tol)
+                if bad.any():
+                    X2, res2, _ = prefix_continue(zj, yj, st_dev)
+                    X2 = np.array(X2, np.float64)
+                    bad2 = ~(np.asarray(res2).max(axis=1) <= fail_tol)
+                    take = bad & ~bad2          # recovered replicates
+                    X[take] = X2[take]
+                    bad = bad & bad2
+            else:
+                X_all = np.array(X_dev, np.float64)  # (n_bands, B, rows, d)
+                res_all = np.asarray(res_dev)        # (n_bands, B, rows)
+                X = np.empty((B, T_max, d_dim))
+                bad = np.zeros(B, bool)              # per replicate
+                for bi, lo in enumerate(band_los):
+                    Xb = X_all[bi]
+                    bad_b = ~(res_all[bi].max(axis=1) <= fail_tol)
+                    if bad_b.any():
+                        stb = jax.tree.map(lambda a, bi=bi: a[bi], st_dev)
+                        Xb2, resb2, _ = prefix_solve_hard(zj, yj, stb, lo)
+                        Xb2 = np.array(Xb2, np.float64)
+                        bad_b2 = ~(np.asarray(resb2).max(axis=1) <= fail_tol)
+                        take = bad_b & ~bad_b2   # recovered replicates
+                        Xb[take] = Xb2[take]
+                        bad_b = bad_b & bad_b2
+                    # Overlapping tail band (T_max % band_rows != 0) simply
+                    # overwrites rows both bands solved.
+                    X[:, lo:lo + Xb.shape[1]] = Xb
+                    bad |= bad_b
             del st_dev
             n_dropped += int(bad.sum())
             X[bad] = np.nan
