@@ -52,7 +52,7 @@ class ExperimentConfig:
         return tuple(range(self.t_min, self.t_max + 1, self.t_step))
 
     def g_cache_key(self) -> str:
-        payload = json.dumps({
+        fields = {
             "t": list(self.T_grid), "seed": self.base_seed,
             "runs": self.g_runs, "eta0": self.eta0,
             "precision": self.precision, "exact": self.exact,
@@ -60,7 +60,10 @@ class ExperimentConfig:
             "iters": self.exact_iters if self.exact else None,
             "admm_prec": (self.exact_admm_precision if self.exact
                           else None),
-        }, sort_keys=True)
+        }
+        if self.exact:  # plain-pipeline keys predate (and ignore) this
+            fields["solver"] = self.exact_solver
+        payload = json.dumps(fields, sort_keys=True)
         return hashlib.sha1(payload.encode()).hexdigest()[:12]
 
 
@@ -90,10 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.exact_admm_precision,
                    help="MXU precision of ADMM iterate matmuls (residual "
                         "checks and final polish keep full accuracy)")
-    p.add_argument("--exact-solver", choices=["auto", "xla", "kernel"],
+    p.add_argument("--exact-solver",
+                   choices=["auto", "linear", "xla", "kernel"],
                    default=d.exact_solver,
-                   help="exact device solve: banded XLA ADMM (auto) or "
-                        "the VMEM-resident Pallas kernel (l2/f32)")
+                   help="exact solve: auto = certified closed form where "
+                        "the optimality certificate holds, banded XLA ADMM "
+                        "otherwise; linear = require the certificate; "
+                        "xla = force the banded ADMM; kernel = force the "
+                        "VMEM-resident Pallas ADMM (l2/f32)")
     p.add_argument("--norm", choices=["l2", "linf", "l1"], default=d.norm)
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--dpi", type=int, default=d.dpi)

@@ -74,7 +74,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
                                  base_seed=cfg.base_seed, eta0=cfg.eta0,
                                  norm=cfg.norm, iters=cfg.exact_iters,
                                  dtype=dtype, cache_path=cache,
-                                 admm_precision=cfg.exact_admm_precision)
+                                 admm_precision=cfg.exact_admm_precision,
+                                 solver=cfg.exact_solver)
         g_title = "Empirical worst-case g(T) for SMART (exact FTRL)"
     else:
         g_emp = estimate_g(cfg.T_grid, runs=cfg.g_runs,

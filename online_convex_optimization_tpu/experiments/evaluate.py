@@ -203,11 +203,18 @@ def evaluate_stream_exact(
     aggregation (logged), instead of killing the whole sweep the way the
     reference's raise would (exact_ftl.py:125-126).
 
-    ``solver``: "auto"/"xla" use the banded lax.map XLA formulation;
-    "kernel" (l2/f32 only) uses the VMEM-resident Pallas ADMM
-    (ops/pallas_admm.py) — measured at PARITY with the XLA path on chip
-    (the band solve is compute-bound, not HBM-bound), kept as the
-    validated kernel formulation of the exact track.
+    ``solver``: "auto" first tries the CERTIFIED closed form
+    (models/linear_regime.py) — on binary-label contract data the exact
+    program is linear and every prefix minimizer is w_t/||w_t||, checked
+    per prefix by the optimality certificate (max_i |<z_i, x*_t>| <= 1),
+    so the device solve and the polish vanish entirely; any uncertified
+    cell (the deterministic w=0 families, out-of-contract data) falls
+    back to the banded lax.map XLA ADMM.  "linear" requires the
+    certificate (raises if any cell is uncertified).  "xla" forces the
+    banded XLA formulation; "kernel" (l2/f32 only) forces the
+    VMEM-resident Pallas ADMM (ops/pallas_admm.py) — measured at PARITY
+    with the XLA path on chip (the band solve is compute-bound, not
+    HBM-bound), kept as the validated kernel formulation.
     """
     import logging
 
@@ -245,6 +252,11 @@ def evaluate_stream_exact(
     # state in VMEM buys nothing) and the XLA path also serves
     # linf/l1/f64.  The kernel remains selectable for l2/f32.
     use_kernel = solver == "kernel"
+    try_linear = solver in ("auto", "linear")
+    require_linear = solver == "linear"
+    if try_linear:
+        from online_convex_optimization_tpu.models.linear_regime import (
+            certified_prefix_actions_batch)
     if use_kernel and (norm != "l2" or np.dtype(dtype) != np.float32):
         raise ValueError("solver='kernel' supports norm='l2' with "
                          "float32 data only")
@@ -316,6 +328,19 @@ def evaluate_stream_exact(
         for T in T_grid:
             z, y = stack_replicates(sampler, T, replicates, dtype=dtype)
             z, y = _pad_T(z, y, T_max)
+            if try_linear:
+                # Certified closed form: exact (f64, zero iterations) when
+                # every (replicate, prefix) passes the optimality
+                # certificate — the common case on contract data.
+                X_lin = certified_prefix_actions_batch(z, y, norm)
+                if X_lin is not None:
+                    zj, yj = jnp.asarray(z), jnp.asarray(y)
+                    pending.append((T, z, y, zj, yj, ("linear", X_lin)))
+                    continue
+                if require_linear:
+                    raise RuntimeError(
+                        f"solver='linear': cell (run={run}, T={T}) failed "
+                        "the closed-form optimality certificate")
             zj, yj = jnp.asarray(z), jnp.asarray(y)
             pending.append((T, z, y, zj, yj, prefix_solve(zj, yj)))
         return pending
@@ -340,11 +365,18 @@ def evaluate_stream_exact(
             # latency hiccup on already-slow cells, not lost device work.
             pend_next = issue(run + 1)
         for ti in range(len(pending)):
-            T, z, y, zj, yj, (X_dev, res_dev, st_dev) = pending[ti]
+            T, z, y, zj, yj, solved = pending[ti]
             pending[ti] = None  # release the ADMM states early
             B = zj.shape[0]
             d_dim = zj.shape[2]
-            if use_kernel:
+            is_linear = isinstance(solved[0], str) and solved[0] == "linear"
+            if is_linear:
+                # Certified closed form: already the exact f64 optimum for
+                # every prefix — nothing to escalate, nothing to polish.
+                X = np.asarray(solved[1], np.float64)
+                bad = np.zeros(B, bool)
+            elif use_kernel:
+                X_dev, res_dev, st_dev = solved
                 X = np.array(X_dev, np.float64)    # (B, T_max, d)
                 # NaN-safe direction: a NaN residual (diverged solve)
                 # must count as bad, so compare with <= and negate.
@@ -357,6 +389,7 @@ def evaluate_stream_exact(
                     X[take] = X2[take]
                     bad = bad & bad2
             else:
+                X_dev, res_dev, st_dev = solved
                 X_all = np.array(X_dev, np.float64)  # (n_bands, B, rows, d)
                 res_all = np.asarray(res_dev)        # (n_bands, B, rows)
                 X = np.empty((B, T_max, d_dim))
@@ -376,10 +409,12 @@ def evaluate_stream_exact(
                     # overwrites rows both bands solved.
                     X[:, lo:lo + Xb.shape[1]] = Xb
                     bad |= bad_b
-            del st_dev
+            del solved
+            if not is_linear:
+                del st_dev, X_dev, res_dev  # release the ADMM state
             n_dropped += int(bad.sum())
             X[bad] = np.nan
-            if polish:
+            if polish and not is_linear:
                 for b in np.flatnonzero(~bad):
                     acts = np.concatenate([np.zeros((1, X.shape[2])), X[b]])
                     acts = polish_prefix_actions(z[b], y[b], acts, norm,

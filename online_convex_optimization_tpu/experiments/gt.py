@@ -102,15 +102,27 @@ def estimate_g_exact(
     cache_path: Optional[str] = None,
     progress: bool = True,
     admm_precision: str = "highest",
+    solver: str = "auto",
 ) -> Dict[int, float]:
     """g(T) with the exact comparator (exact_ftl_driver.py:64-117):
-    regret = FTRL cum_loss - loss of the exact full-sequence minimizer."""
+    regret = FTRL cum_loss - loss of the exact full-sequence minimizer.
+
+    ``solver='auto'`` first computes each run's comparator via the
+    CERTIFIED closed form (models/linear_regime.py — the g sampler's data
+    is contract data: clipped rows, +-1 labels, so the exact program is
+    linear); only uncertified runs fall through to the device ADMM.
+    ``solver='linear'`` raises on an uncertified run; any other value
+    forces the general ADMM for every run."""
     import jax
     import jax.numpy as jnp
 
     from online_convex_optimization_tpu.models.exact_ftl import _admm_full
+    from online_convex_optimization_tpu.models.linear_regime import (
+        certified_full_solution_batch)
     from online_convex_optimization_tpu.models.polish import polish_solution
     from online_convex_optimization_tpu.ops.hinge import normalized_hinge
+
+    try_linear = solver in ("auto", "linear")
 
     g: Dict[int, float] = {}
     if cache_path and os.path.exists(cache_path):
@@ -155,24 +167,43 @@ def estimate_g_exact(
         for start in range(0, runs, chunk):
             zc = jnp.asarray(z[start:start + chunk])
             yc = jnp.asarray(y[start:start + chunk])
-            x_c, res, st = solve(zc, yc)            # (n, d), (n,), state
-            # Failure containment (SURVEY §5): a diverged solve becomes a
-            # NaN sentinel dropped from the max, never an exception inside
-            # the sweep; drop_nonfinite_stats reports how many were lost.
-            x_np = np.array(x_c, np.float64)
-            ok_mask = np.asarray(res) <= 1e-3
-            if not ok_mask.all():
-                x2, res2, _ = solve_hard(zc, yc, st)
-                x2 = np.array(x2, np.float64)
-                ok2 = np.asarray(res2) <= 1e-3
-                take = (~ok_mask) & ok2
-                x_np[take] = x2[take]
-                ok_mask = ok_mask | ok2
-            del st
-            x_np[~ok_mask] = np.nan
-            for i in np.flatnonzero(ok_mask):  # active-set polish (host)
-                x_np[i] = polish_solution(z[start + i], y[start + i],
-                                          x_np[i], norm)
+            n = zc.shape[0]
+            x_np = np.full((n, z.shape[2]), np.nan)
+            ok_mask = np.zeros(n, bool)
+            if try_linear:
+                # Certified closed-form comparators (exact, no polish
+                # needed); only the uncertified remainder hits the device.
+                x_lin, ok_lin = certified_full_solution_batch(
+                    z[start:start + chunk], y[start:start + chunk], norm)
+                x_np[ok_lin] = x_lin[ok_lin]
+                ok_mask |= ok_lin
+                if solver == "linear" and not ok_lin.all():
+                    raise RuntimeError(
+                        "solver='linear': uncertified g(T) run at "
+                        f"T={T}, chunk={start}")
+            need = ~ok_mask
+            if need.any():
+                # Device ADMM for the uncertified runs (whole chunk: one
+                # compiled shape; certified members' results are ignored).
+                x_c, res, st = solve(zc, yc)        # (n, d), (n,), state
+                # Failure containment (SURVEY §5): a diverged solve becomes
+                # a NaN sentinel dropped from the max, never an exception
+                # inside the sweep; drop_nonfinite_stats reports the loss.
+                x_dev = np.array(x_c, np.float64)
+                ok_dev = np.asarray(res) <= 1e-3
+                if not (ok_dev | ~need).all():
+                    x2, res2, _ = solve_hard(zc, yc, st)
+                    x2 = np.array(x2, np.float64)
+                    ok2 = np.asarray(res2) <= 1e-3
+                    take = (~ok_dev) & ok2
+                    x_dev[take] = x2[take]
+                    ok_dev = ok_dev | ok2
+                del st
+                for i in np.flatnonzero(need & ok_dev):  # host polish
+                    x_dev[i] = polish_solution(z[start + i], y[start + i],
+                                               x_dev[i], norm)
+                    x_np[i] = x_dev[i]
+                ok_mask |= need & ok_dev
             x_j = jnp.asarray(x_np, zc.dtype)
             comp = np.asarray(jnp.sum(
                 normalized_hinge(jnp.einsum("ntd,nd->nt", zc, x_j,

@@ -69,6 +69,10 @@ import numpy as np
 
 from online_convex_optimization_tpu.models.base import RunResult
 from online_convex_optimization_tpu.models.linear import simulate_linear
+from online_convex_optimization_tpu.models.linear_regime import (
+    certified_full_solution,
+    certified_prefix_actions,
+)
 from online_convex_optimization_tpu.models.polish import (
     polish_prefix_actions,
     polish_solution,
@@ -363,6 +367,11 @@ class ExactFTL:
     iter_precision: str = "highest"  # "high": ~2x faster MXU iterates; the
     #   HIGHEST-precision residual check + host polish keep the final
     #   objective at ~1e-9 either way (see _PRECISIONS)
+    allow_linear: bool = True  # try the CERTIFIED closed form first
+    #   (models/linear_regime.py): on binary-label contract data the exact
+    #   program is linear and the minimizer is w_t/||w_t|| (l2) — checked
+    #   per prefix by the optimality certificate, never assumed.  Set
+    #   False to force the general ADMM path (solver validation tests do).
 
     def __post_init__(self):
         self._z_buf = np.zeros((self.T_max, self.d))
@@ -402,6 +411,15 @@ class ExactFTL:
         self._z_buf[self._length] = z_row
         self._y_buf[self._length] = y_val
         self._length += 1
+        if self.allow_linear:
+            x_lin = certified_full_solution(
+                self._z_buf[:self._length], self._y_buf[:self._length],
+                self.norm)
+            if x_lin is not None:
+                self.last_info = {"residual": 0.0, "iters": 0,
+                                  "length": self._length, "converged": True,
+                                  "solver": "certified-linear"}
+                return x_lin
         if self._state is None:
             self._state = self._zero_state()
         m = np.zeros(self.T_max)
@@ -463,13 +481,20 @@ class ExactFTL:
         # optimum of an f32-rounded problem (~1e-7 objective error).
         z_host = np.asarray(z, np.float64)
         y_host = np.asarray(y, np.float64)
-        z = jnp.asarray(z)
-        y = jnp.asarray(y)
-        T, d = z.shape
+        T, d = z_host.shape
         if d != self.d:
             raise ValueError(f"expected d={self.d}, got {d}")
         if T > self.T_max:
             raise ValueError("sequence longer than T_max")
+        if self.allow_linear:
+            acts = certified_prefix_actions(z_host, y_host, self.norm)
+            if acts is not None:
+                self.last_info = {"residual": 0.0, "n_unconverged": 0,
+                                  "converged": True,
+                                  "solver": "certified-linear"}
+                return acts
+        z = jnp.asarray(z)
+        y = jnp.asarray(y)
         # Banding (T >= 512): independent prefix rows solve in 256-row
         # bands, each exiting its while_loop at ITS OWN convergence
         # (one compiled program — band_lo is dynamic).  Hard bands
@@ -516,6 +541,14 @@ class ExactFTL:
 
     def solve_full(self, z: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Minimizer over the whole sequence (the exact comparator)."""
+        if self.allow_linear:
+            x_lin = certified_full_solution(np.asarray(z, np.float64),
+                                            np.asarray(y, np.float64),
+                                            self.norm)
+            if x_lin is not None:
+                self.last_info = {"residual": 0.0, "converged": True,
+                                  "solver": "certified-linear"}
+                return x_lin
         x, res, state = _admm_full(jnp.asarray(z), jnp.asarray(y),
                                    norm=self.norm, iters=self.iters,
                                    rho=self.rho, alpha=self.alpha,

@@ -63,7 +63,8 @@ def test_full_solve_matches_highs_lp(norm):
     """Active-set-polished solves match the interior-point-grade HiGHS
     objective to 1e-8 (the reference's ECOS-level accuracy bar)."""
     z, y = _instance()
-    solver = ExactFTL(d=5, T_max=60, norm=norm, iters=8000, rho=3.0)
+    solver = ExactFTL(d=5, T_max=60, norm=norm, iters=8000, rho=3.0,
+                      allow_linear=False)
     x = solver.solve_full(z, y)
     x_lp = _lp_solve(z, y, norm)
     assert _obj(z, y, x) <= _obj(z, y, x_lp) + 1e-8
@@ -71,7 +72,8 @@ def test_full_solve_matches_highs_lp(norm):
 
 def test_full_solve_matches_slsqp_l2():
     z, y = _instance(seed=1)
-    solver = ExactFTL(d=5, T_max=60, norm="l2", iters=3000)
+    solver = ExactFTL(d=5, T_max=60, norm="l2", iters=3000,
+                      allow_linear=False)
     x = solver.solve_full(z, y)
     best = None
     rng = np.random.default_rng(2)
@@ -91,7 +93,8 @@ def test_full_solve_matches_slsqp_l2():
 def test_all_prefixes_match_highs_lp(norm):
     """Every 5th prefix of the batched+polished trajectory vs HiGHS, 1e-8."""
     z, y = _instance(T=40, seed=8)
-    solver = ExactFTL(d=5, T_max=40, norm=norm, iters=6000, rho=3.0)
+    solver = ExactFTL(d=5, T_max=40, norm=norm, iters=6000, rho=3.0,
+                      allow_linear=False)
     actions = solver.prefix_actions(z, y)
     for p in range(5, 41, 5):
         obj_p = _obj(z[:p], y[:p], actions[p])
@@ -101,7 +104,8 @@ def test_all_prefixes_match_highs_lp(norm):
 
 def test_prefix_actions_consistent_with_full():
     z, y = _instance(T=40, seed=3)
-    solver = ExactFTL(d=5, T_max=40, norm="l2", iters=3000)
+    solver = ExactFTL(d=5, T_max=40, norm="l2", iters=3000,
+                      allow_linear=False)
     actions = solver.prefix_actions(z, y)
     assert actions.shape == (41, 5)
     np.testing.assert_allclose(actions[0], 0.0)
@@ -144,7 +148,8 @@ def test_incremental_surface_matches_batch():
     """Warm-started append_row / solve_prefix agree with the all-prefix
     batch solve to polished (1e-8) accuracy."""
     z, y = _instance(T=20, seed=7)
-    solver = ExactFTL(d=5, T_max=20, norm="l2", iters=2000)
+    solver = ExactFTL(d=5, T_max=20, norm="l2", iters=2000,
+                      allow_linear=False)
     actions = solver.prefix_actions(z, y)
     solver.reset_buffers()
     for t in range(6):
@@ -163,9 +168,10 @@ def test_append_row_warm_start_is_cheap_and_accurate():
     """The warm path (warm_iters << iters) stays 1e-8-accurate over a full
     append loop — the reference's solve-many design (exact_ftl.py:140-149)."""
     z, y = _instance(T=30, seed=9)
-    solver = ExactFTL(d=5, T_max=30, norm="l2", iters=2000, warm_iters=80)
-    batch_actions = ExactFTL(d=5, T_max=30, norm="l2",
-                             iters=3000).prefix_actions(z, y)
+    solver = ExactFTL(d=5, T_max=30, norm="l2", iters=2000, warm_iters=80,
+                      allow_linear=False)
+    batch_actions = ExactFTL(d=5, T_max=30, norm="l2", iters=3000,
+                             allow_linear=False).prefix_actions(z, y)
     for t in range(30):
         x_inc = solver.append_row(z[t], float(y[t]))
         assert solver.last_info["iters"] == (2000 if t == 0 else 80)
@@ -178,16 +184,17 @@ def test_unconverged_solve_raises_or_sentinels():
     """Residual telemetry: a deliberately starved solve is flagged, not
     silently wrong (VERDICT round-1 'ADMM runs open-loop')."""
     z, y = _instance(T=40, seed=10)
-    starved = ExactFTL(d=5, T_max=40, norm="l2", iters=2, fail_tol=1e-6)
+    starved = ExactFTL(d=5, T_max=40, norm="l2", iters=2, fail_tol=1e-6,
+                       allow_linear=False)
     with pytest.raises(RuntimeError, match="failed to converge"):
         starved.solve_full(z, y)
     sentinel = ExactFTL(d=5, T_max=40, norm="l2", iters=2, fail_tol=1e-6,
-                        on_fail="sentinel")
+                        on_fail="sentinel", allow_linear=False)
     x = sentinel.solve_full(z, y)
     assert np.isnan(x).all()
     assert not sentinel.last_info["converged"]
     # A healthy solve reports convergence.
-    ok = ExactFTL(d=5, T_max=40, norm="l2", iters=3000)
+    ok = ExactFTL(d=5, T_max=40, norm="l2", iters=3000, allow_linear=False)
     ok.solve_full(z, y)
     assert ok.last_info["converged"]
     assert ok.last_info["residual"] < 1e-3
@@ -210,9 +217,10 @@ def test_fast_iter_precision_same_accuracy(norm):
     precision flag is a no-op, so this asserts the wiring + the contract;
     the TPU-gated twin below asserts the numerics on real hardware."""
     z, y = _instance(T=50, seed=11)
-    ref = ExactFTL(d=5, T_max=50, norm=norm, iters=6000, rho=3.0)
+    ref = ExactFTL(d=5, T_max=50, norm=norm, iters=6000, rho=3.0,
+                   allow_linear=False)
     fast = ExactFTL(d=5, T_max=50, norm=norm, iters=6000, rho=3.0,
-                    iter_precision="high")
+                    iter_precision="high", allow_linear=False)
     a_ref = ref.prefix_actions(z, y)
     a_fast = fast.prefix_actions(z, y)
     for p in (1, 10, 25, 50):
@@ -230,7 +238,7 @@ def test_fast_iter_precision_matches_highs_on_tpu(norm):
     host polish still reach the interior-point bar (1e-8 vs HiGHS)."""
     z, y = _instance(T=40, seed=8)
     solver = ExactFTL(d=5, T_max=40, norm=norm, iters=6000, rho=3.0,
-                      iter_precision="high")
+                      iter_precision="high", allow_linear=False)
     actions = solver.prefix_actions(z, y)
     for p in range(10, 41, 10):
         obj_p = _obj(z[:p], y[:p], actions[p])
@@ -298,7 +306,8 @@ def test_prefix_actions_banded_path_T512():
     trajectory must stay feasible, monotone vs the full solution, and
     consistent with solve_full at the final prefix."""
     z, y = _instance(T=520, seed=16)
-    solver = ExactFTL(d=5, T_max=520, norm="l2", iters=1500)
+    solver = ExactFTL(d=5, T_max=520, norm="l2", iters=1500,
+                      allow_linear=False)
     actions = solver.prefix_actions(z, y)
     assert actions.shape == (521, 5)
     x_full = solver.solve_full(z, y)
