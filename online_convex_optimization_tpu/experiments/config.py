@@ -94,13 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU precision of ADMM iterate matmuls (residual "
                         "checks and final polish keep full accuracy)")
     p.add_argument("--exact-solver",
-                   choices=["auto", "linear", "xla", "kernel"],
+                   choices=["auto", "linear", "xla", "kernel", "ssn"],
                    default=d.exact_solver,
                    help="exact solve: auto = certified closed form where "
                         "the optimality certificate holds, banded XLA ADMM "
                         "otherwise; linear = require the certificate; "
                         "xla = force the banded ADMM; kernel = force the "
-                        "VMEM-resident Pallas ADMM (l2/f32)")
+                        "VMEM-resident Pallas ADMM (l2/f32); ssn = force "
+                        "the semismooth-Newton band solver (l2; g(T) "
+                        "estimation still uses the ADMM comparator solves)")
     p.add_argument("--norm", choices=["l2", "linf", "l1"], default=d.norm)
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--dpi", type=int, default=d.dpi)

@@ -33,6 +33,33 @@ ALGO_KEYS = ("FTRL", "FTL", "SMART", "EMP")  # driver.py:43
 Stats = Dict[str, Tuple[np.ndarray, np.ndarray]]
 
 
+def _host_ftrl_cum_loss(z: np.ndarray, y: np.ndarray,
+                        eta0: float) -> np.ndarray:
+    """Batched f64 FTRL cumulative loss with the reference's exact-driver
+    semantics (/root/reference/exact_ftl.py:230-277 runs its FTRL loop in
+    f64 NumPy): scale eta0/sqrt(max(1, t)), project iff ||x||^2 > 1,
+    tie-exact subgradient.  Vectorized over the batch; padded (z = 0,
+    y = 0) rounds are inert.  Used for CERTIFIED cells, where no device
+    work remains — the host loop is ~50 ms per run batch, far below the
+    relay's per-cell transfer cost."""
+    z = np.asarray(z, np.float64)
+    y = np.asarray(y, np.float64)
+    B, T, d = z.shape
+    theta = np.zeros((B, d))
+    cum = np.zeros(B)
+    for t in range(T):
+        x = (-(eta0 / math.sqrt(max(1, t + 1)))) * theta
+        nsq = np.einsum("bd,bd->b", x, x)
+        over = nsq > 1.0
+        if over.any():
+            x[over] *= 1.0 / np.sqrt(nsq[over])[:, None]
+        q = np.einsum("bd,bd->b", z[:, t], x)
+        diff = q - y[:, t]
+        cum += 0.5 * np.abs(diff)
+        theta += (0.5 * np.sign(diff))[:, None] * z[:, t]
+    return cum
+
+
 def _pad_T(z: np.ndarray, y: np.ndarray, T_max: int):
     T = z.shape[1]
     if T == T_max:
@@ -252,6 +279,7 @@ def evaluate_stream_exact(
     # state in VMEM buys nothing) and the XLA path also serves
     # linf/l1/f64.  The kernel remains selectable for l2/f32.
     use_kernel = solver == "kernel"
+    use_ssn = solver == "ssn"
     try_linear = solver in ("auto", "linear")
     require_linear = solver == "linear"
     if try_linear:
@@ -260,6 +288,15 @@ def evaluate_stream_exact(
     if use_kernel and (norm != "l2" or np.dtype(dtype) != np.float32):
         raise ValueError("solver='kernel' supports norm='l2' with "
                          "float32 data only")
+    if use_ssn and norm != "l2":
+        raise ValueError("solver='ssn' supports norm='l2' only")
+    if use_ssn and not jax.config.jax_enable_x64:
+        # SSN is f64-grade: its duality-gap certificate has an
+        # irreducible f32 noise floor on hard instances (measured in
+        # docs/BENCHMARKS.md); refuse rather than under-converge.
+        raise ValueError("solver='ssn' requires x64 (pass --precision "
+                         "x64, or use the CPU backend where the driver "
+                         "enables it)")
     if use_kernel:
         # VMEM-resident Pallas ADMM: per-256-row-block while_loop exit,
         # S/U never round-trip HBM during iterations (ops/pallas_admm.py).
@@ -283,6 +320,29 @@ def evaluate_stream_exact(
                            for b in range(-(-T_max // band_rows))})
         band_los_arr = jnp.asarray(band_los, jnp.int32)
 
+        if use_ssn:
+            # Semismooth-Newton band solver (models/ssn.py): same banding
+            # and state-continuation contract as the ADMM; ``iters`` here
+            # caps NEWTON steps, each worth ~25-100x an ADMM iteration.
+            # x64 is enforced above: SSN is f64-grade (accuracy-first);
+            # the f32 TPU production fallback remains the banded ADMM.
+            from online_convex_optimization_tpu.models.ssn import (
+                ssn_all_prefixes)
+
+            def _band(z1, y1, lo, st=None, budget=300):
+                return ssn_all_prefixes(z1.astype(jnp.float64),
+                                        y1.astype(jnp.float64),
+                                        iters=budget, tol=2e-4,
+                                        state0=st, band_lo=lo,
+                                        band_rows=band_rows)
+        else:
+            def _band(z1, y1, lo, st=None, budget=None):
+                return _admm_all_prefixes(
+                    z1, y1, norm=norm, iters=(3 * iters if budget is None
+                                              else budget), tol=2e-4,
+                    precision=admm_precision, state0=st, band_lo=lo,
+                    band_rows=band_rows)
+
         # ONE dispatch per cell: lax.map runs the bands sequentially
         # inside a single compiled program (each band still owns its
         # while_loop exit) — per-call relay dispatch/fetch costs ~35 ms
@@ -292,10 +352,7 @@ def evaluate_stream_exact(
         def prefix_solve(zz, yy):
             def one(lo):
                 return jax.vmap(
-                    lambda z1, y1: _admm_all_prefixes(
-                        z1, y1, norm=norm, iters=3 * iters, tol=2e-4,
-                        precision=admm_precision, band_lo=lo,
-                        band_rows=band_rows))(zz, yy)
+                    lambda z1, y1: _band(z1, y1, lo))(zz, yy)
             return jax.lax.map(one, band_los_arr)  # (n_bands, B, ...)
 
         # Escalation solver for bands with unconverged replicates:
@@ -304,10 +361,8 @@ def evaluate_stream_exact(
         # state, so nothing is redone.  Recovers would-be-dropped
         # replicates instead of sentineling them.
         prefix_solve_hard = jax.jit(jax.vmap(
-            lambda zz, yy, st, lo: _admm_all_prefixes(
-                zz, yy, norm=norm, iters=3 * iters, tol=2e-4,
-                precision=admm_precision, state0=st, band_lo=lo,
-                band_rows=band_rows),
+            lambda zz, yy, st, lo: _band(zz, yy, lo, st=st,
+                                         budget=3 * iters),
             in_axes=(0, 0, 0, None)))
 
     run_iter = range(runs)
@@ -331,11 +386,19 @@ def evaluate_stream_exact(
             if try_linear:
                 # Certified closed form: exact (f64, zero iterations) when
                 # every (replicate, prefix) passes the optimality
-                # certificate — the common case on contract data.
-                X_lin = certified_prefix_actions_batch(z, y, norm)
+                # certificate — the common case on contract data.  Certify
+                # on the TRUE horizon slice (the certificate matmul is
+                # O(B T^2 d) host BLAS; padded rows are inert duplicates
+                # of prefix T, reattached afterwards).
+                X_lin = certified_prefix_actions_batch(z[:, :T], y[:, :T],
+                                                       norm)
                 if X_lin is not None:
-                    zj, yj = jnp.asarray(z), jnp.asarray(y)
-                    pending.append((T, z, y, zj, yj, ("linear", X_lin)))
+                    # Certified cells never touch the device: replay,
+                    # comparator, and FTRL all run host-side in f64 (the
+                    # reference exact driver's own dtype), so the ~0.3 s
+                    # of relay transfer + dispatch per cell vanishes.
+                    pending.append((T, z, y, None, None,
+                                    ("linear", X_lin)))
                     continue
                 if require_linear:
                     raise RuntimeError(
@@ -364,18 +427,21 @@ def evaluate_stream_exact(
             # Rare escalations do queue behind the prefetched run — a
             # latency hiccup on already-slow cells, not lost device work.
             pend_next = issue(run + 1)
+        lin_cells = []
         for ti in range(len(pending)):
             T, z, y, zj, yj, solved = pending[ti]
             pending[ti] = None  # release the ADMM states early
-            B = zj.shape[0]
-            d_dim = zj.shape[2]
             is_linear = isinstance(solved[0], str) and solved[0] == "linear"
             if is_linear:
                 # Certified closed form: already the exact f64 optimum for
-                # every prefix — nothing to escalate, nothing to polish.
-                X = np.asarray(solved[1], np.float64)
-                bad = np.zeros(B, bool)
-            elif use_kernel:
+                # every prefix — nothing to escalate, nothing to polish,
+                # nothing to send to the device.  Scored after the loop in
+                # one batched host pass per run.
+                lin_cells.append((ti, T, z, y, solved[1]))
+                continue
+            B = zj.shape[0]
+            d_dim = zj.shape[2]
+            if use_kernel:
                 X_dev, res_dev, st_dev = solved
                 X = np.array(X_dev, np.float64)    # (B, T_max, d)
                 # NaN-safe direction: a NaN residual (diverged solve)
@@ -409,12 +475,10 @@ def evaluate_stream_exact(
                     # overwrites rows both bands solved.
                     X[:, lo:lo + Xb.shape[1]] = Xb
                     bad |= bad_b
-            del solved
-            if not is_linear:
-                del st_dev, X_dev, res_dev  # release the ADMM state
+            del solved, st_dev, X_dev, res_dev  # release the ADMM state
             n_dropped += int(bad.sum())
             X[bad] = np.nan
-            if polish and not is_linear:
+            if polish:
                 for b in np.flatnonzero(~bad):
                     acts = np.concatenate([np.zeros((1, X.shape[2])), X[b]])
                     acts = polish_prefix_actions(z[b], y[b], acts, norm,
@@ -439,6 +503,32 @@ def evaluate_stream_exact(
             # FTRL with the shared exact comparator.
             lin = simulate_linear_batch(zj, yj, 0, eta0)
             by_T["FTRL"][run, ti] = np.asarray(lin.cum_loss) - np.asarray(comp)
+        if lin_cells:
+            # ---- certified cells: one batched host f64 pass per run ----
+            # Replay, comparator, and FTRL in f64 on the true-horizon
+            # slices; the exact-FTL action for round t is the prefix-t
+            # minimizer shifted by one (prefix-0 action = 0).  This is the
+            # reference exact driver's own arithmetic (f64 NumPy,
+            # exact_ftl.py:230-333) — no f32 round-trip.
+            zs = np.concatenate([np.asarray(c[2], np.float64)
+                                 for c in lin_cells])
+            ys = np.concatenate([np.asarray(c[3], np.float64)
+                                 for c in lin_cells])
+            cum_ftrl = _host_ftrl_cum_loss(zs, ys, eta0)
+            ofs = 0
+            for ti, T, zc, yc, X in lin_cells:
+                B = X.shape[0]
+                zc = np.asarray(zc, np.float64)[:, :T]
+                yc = np.asarray(yc, np.float64)[:, :T]
+                X_play = np.concatenate(
+                    [np.zeros((B, 1, X.shape[2])), X[:, :T - 1]], axis=1)
+                q = np.einsum("btd,btd->bt", zc, X_play)
+                cum_exact = 0.5 * np.abs(q - yc).sum(axis=1)
+                q_c = np.einsum("btd,bd->bt", zc, X[:, T - 1])
+                comp = 0.5 * np.abs(q_c - yc).sum(axis=1)
+                by_T["FTL (exact)"][run, ti] = cum_exact - comp
+                by_T["FTRL"][run, ti] = cum_ftrl[ofs:ofs + B] - comp
+                ofs += B
         if not prefetch and run + 1 < runs:
             pend_next = issue(run + 1)
 

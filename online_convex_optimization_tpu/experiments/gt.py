@@ -120,7 +120,6 @@ def estimate_g_exact(
     from online_convex_optimization_tpu.models.linear_regime import (
         certified_full_solution_batch)
     from online_convex_optimization_tpu.models.polish import polish_solution
-    from online_convex_optimization_tpu.ops.hinge import normalized_hinge
 
     try_linear = solver in ("auto", "linear")
 
@@ -161,20 +160,28 @@ def estimate_g_exact(
                 [z, np.zeros((runs, T_max - T, z.shape[2]), z.dtype)], axis=1)
             y = np.concatenate(
                 [y, np.zeros((runs, T_max - T), y.dtype)], axis=1)
-        cum = np.asarray(simulate_linear_batch(z, y, 0, eta0).cum_loss)
+        if try_linear:
+            # Host f64 FTRL, the reference exact driver's own arithmetic
+            # (exact_ftl.py:230-277 runs its loop in f64 NumPy): no device
+            # work at all when every comparator certifies.
+            from online_convex_optimization_tpu.experiments.evaluate import (
+                _host_ftrl_cum_loss)
+            cum = _host_ftrl_cum_loss(z[:, :T], y[:, :T], eta0)
+        else:
+            cum = np.asarray(simulate_linear_batch(z, y, 0, eta0).cum_loss)
         max_regret = 0.0
         chunk = 50  # divides the reference's 200-run default: one shape
         for start in range(0, runs, chunk):
-            zc = jnp.asarray(z[start:start + chunk])
-            yc = jnp.asarray(y[start:start + chunk])
-            n = zc.shape[0]
+            n = min(chunk, runs - start)
             x_np = np.full((n, z.shape[2]), np.nan)
             ok_mask = np.zeros(n, bool)
             if try_linear:
                 # Certified closed-form comparators (exact, no polish
                 # needed); only the uncertified remainder hits the device.
+                # Certified on the true-horizon slice (padded rows inert).
                 x_lin, ok_lin = certified_full_solution_batch(
-                    z[start:start + chunk], y[start:start + chunk], norm)
+                    z[start:start + chunk, :T], y[start:start + chunk, :T],
+                    norm)
                 x_np[ok_lin] = x_lin[ok_lin]
                 ok_mask |= ok_lin
                 if solver == "linear" and not ok_lin.all():
@@ -185,6 +192,8 @@ def estimate_g_exact(
             if need.any():
                 # Device ADMM for the uncertified runs (whole chunk: one
                 # compiled shape; certified members' results are ignored).
+                zc = jnp.asarray(z[start:start + chunk])
+                yc = jnp.asarray(y[start:start + chunk])
                 x_c, res, st = solve(zc, yc)        # (n, d), (n,), state
                 # Failure containment (SURVEY §5): a diverged solve becomes
                 # a NaN sentinel dropped from the max, never an exception
@@ -204,11 +213,11 @@ def estimate_g_exact(
                                                x_dev[i], norm)
                     x_np[i] = x_dev[i]
                 ok_mask |= need & ok_dev
-            x_j = jnp.asarray(x_np, zc.dtype)
-            comp = np.asarray(jnp.sum(
-                normalized_hinge(jnp.einsum("ntd,nd->nt", zc, x_j,
-                                            precision=jax.lax.Precision.HIGHEST), yc),
-                axis=-1))
+            # Comparator losses in host f64 (x is host f64 either way).
+            zh = np.asarray(z[start:start + chunk, :T], np.float64)
+            yh = np.asarray(y[start:start + chunk, :T], np.float64)
+            comp = 0.5 * np.abs(
+                np.einsum("ntd,nd->nt", zh, x_np) - yh).sum(axis=-1)
             regs = jnp.asarray(cum[start:start + chunk] - comp)
             n_ok, mx, _ = drop_nonfinite_stats(regs)
             if int(n_ok) < regs.shape[0]:

@@ -372,13 +372,60 @@ class ExactFTL:
     #   program is linear and the minimizer is w_t/||w_t|| (l2) — checked
     #   per prefix by the optimality certificate, never assumed.  Set
     #   False to force the general ADMM path (solver validation tests do).
+    method: str = "admm"  # general-path solver: "admm" (all norms) or
+    #   "ssn" (l2 only) — Huber-continuation semismooth Newton
+    #   (models/ssn.py), ~20-60 Newton steps where the ADMM takes
+    #   1.8-2.2k iterations on hard out-of-contract instances.  Both feed
+    #   the same active-set polish; ``iters`` caps Newton steps for ssn
+    #   (the while_loop exits at stop_tol long before the ADMM-scale cap).
 
     def __post_init__(self):
+        if self.method not in ("admm", "ssn"):
+            raise ValueError(f"unknown method {self.method!r}")
+        if self.method == "ssn" and self.norm != "l2":
+            raise ValueError("method='ssn' supports norm='l2' only")
         self._z_buf = np.zeros((self.T_max, self.d))
         self._y_buf = np.zeros(self.T_max)
         self._length = 0
         self._state = None  # warm-start ADMM state for append_row
         self.last_info: dict = {}
+
+    def _band_solve(self, z, y, lo, rows, state0=None, iters=None):
+        """General-path all-prefix band solve via the configured method."""
+        iters = self.iters if iters is None else iters
+        if self.method == "ssn":
+            # SSN is an f64-grade method: at the continuation floor the
+            # model condition is ~1/mu, and in f32 the duality-gap
+            # certificate hits an irreducible ~1e-2 noise floor on hard
+            # instances (measured).  Force x64 for the solve regardless
+            # of the ambient flag; the f32 input VALUES are preserved.
+            from online_convex_optimization_tpu.models.ssn import (
+                ssn_all_prefixes)
+            with jax.enable_x64():
+                return ssn_all_prefixes(
+                    jnp.asarray(np.asarray(z, np.float64)),
+                    jnp.asarray(np.asarray(y, np.float64)),
+                    iters=iters, tol=max(self.stop_tol, 1e-6),
+                    state0=state0, band_lo=lo, band_rows=rows)
+        return _admm_all_prefixes(
+            z, y, norm=self.norm, iters=iters, rho=self.rho,
+            alpha=self.alpha, tol=self.stop_tol,
+            precision=self.iter_precision, state0=state0,
+            band_lo=lo, band_rows=rows)
+
+    def _full_solve(self, z, y, state0=None, iters=None):
+        """General-path full-sequence solve via the configured method."""
+        iters = self.iters if iters is None else iters
+        if self.method == "ssn":
+            from online_convex_optimization_tpu.models.ssn import ssn_full
+            with jax.enable_x64():  # see _band_solve: ssn is f64-grade
+                return ssn_full(jnp.asarray(np.asarray(z, np.float64)),
+                                jnp.asarray(np.asarray(y, np.float64)),
+                                iters=iters, tol=max(self.stop_tol, 1e-6),
+                                state0=state0)
+        return _admm_full(z, y, norm=self.norm, iters=iters, rho=self.rho,
+                          alpha=self.alpha, tol=self.stop_tol,
+                          precision=self.iter_precision, state0=state0)
 
     def reset_buffers(self) -> None:
         """Clear cached rows for a new sequence (exact_ftl.py:130-138)."""
@@ -508,18 +555,12 @@ class ExactFTL:
         X = np.empty((T, d))
         res = np.empty(T)
         for lo in los:
-            Xb, rb, st = _admm_all_prefixes(
-                z, y, norm=self.norm, iters=self.iters, rho=self.rho,
-                alpha=self.alpha, tol=self.stop_tol,
-                precision=self.iter_precision, band_lo=lo, band_rows=rows)
+            Xb, rb, st = self._band_solve(z, y, lo, rows)
             rb_host = np.asarray(rb)
             # NaN-safe direction: a NaN residual must count as unconverged.
             if rb_host.size and not float(rb_host.max()) <= self.fail_tol:
-                Xb, rb, st = _admm_all_prefixes(
-                    z, y, norm=self.norm, iters=2 * self.iters,
-                    rho=self.rho, alpha=self.alpha, tol=self.stop_tol,
-                    precision=self.iter_precision, state0=st,
-                    band_lo=lo, band_rows=rows)
+                Xb, rb, st = self._band_solve(z, y, lo, rows, state0=st,
+                                              iters=2 * self.iters)
             nb = Xb.shape[0]
             start = 0 if lo is None else lo
             X[start:start + nb] = np.asarray(Xb, np.float64)
@@ -549,18 +590,12 @@ class ExactFTL:
                 self.last_info = {"residual": 0.0, "converged": True,
                                   "solver": "certified-linear"}
                 return x_lin
-        x, res, state = _admm_full(jnp.asarray(z), jnp.asarray(y),
-                                   norm=self.norm, iters=self.iters,
-                                   rho=self.rho, alpha=self.alpha,
-                                   tol=self.stop_tol,
-                                   precision=self.iter_precision)
+        x, res, state = self._full_solve(jnp.asarray(z), jnp.asarray(y))
         res_f = float(res)
         if res_f > self.fail_tol:
-            x, res, state = _admm_full(
-                jnp.asarray(z), jnp.asarray(y), norm=self.norm,
-                iters=2 * self.iters, rho=self.rho, alpha=self.alpha,
-                tol=self.stop_tol, precision=self.iter_precision,
-                state0=state)
+            x, res, state = self._full_solve(
+                jnp.asarray(z), jnp.asarray(y), state0=state,
+                iters=2 * self.iters)
             res_f = float(res)
         self.last_info = {"residual": res_f}
         x = np.asarray(x, np.float64)

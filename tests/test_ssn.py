@@ -1,0 +1,150 @@
+"""Semismooth-Newton exact-FTL solver (models/ssn.py).
+
+Cross-validated three ways: against the batched ADMM (the incumbent
+general solver), against SLSQP multistart (independent smooth solver),
+and through the ExactFTL surface with the shared active-set polish.
+All instances here are OUT of the certified linear regime (unclipped
+rows) — on contract data the closed form short-circuits both iterative
+solvers (models/linear_regime.py)."""
+
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+from online_convex_optimization_tpu.models.exact_ftl import ExactFTL
+from online_convex_optimization_tpu.models.polish import (
+    objective,
+    polish_solution,
+)
+from online_convex_optimization_tpu.models.ssn import (
+    ssn_all_prefixes,
+    ssn_full,
+)
+
+
+def _hard_instance(T=60, d=5, seed=0, scale=2.0):
+    """Unclipped rows (||z|| ~ scale * sqrt(d) >> 1): the reference's own
+    smoke-test regime (exact_ftl.py:460-475); fails the linear-regime
+    certificate, so the iterative solvers genuinely run."""
+    rng = np.random.default_rng(seed)
+    z = scale * rng.normal(size=(T, d))
+    y = np.sign(z @ rng.normal(size=d) + 0.5 * rng.normal(size=T))
+    y[y == 0] = 1.0
+    return z, y
+
+
+def _slsqp_best(z, y, tries=5, seed=99):
+    rng = np.random.default_rng(seed)
+    best = None
+    for _ in range(tries):
+        r = minimize(lambda v: objective(z, y, v),
+                     0.3 * rng.normal(size=z.shape[1]),
+                     constraints=[{"type": "ineq",
+                                   "fun": lambda v: 1 - np.dot(v, v)}],
+                     method="SLSQP", options={"maxiter": 800,
+                                              "ftol": 1e-14})
+        if best is None or r.fun < best.fun:
+            best = r
+    return best.fun
+
+
+def test_ssn_full_matches_slsqp_after_polish():
+    z, y = _hard_instance(seed=1)
+    import jax.numpy as jnp
+    x, res, _ = ssn_full(jnp.asarray(z), jnp.asarray(y), iters=120,
+                         tol=1e-5)
+    assert float(res) <= 1e-3
+    x_pol = polish_solution(z, y, np.asarray(x, np.float64), "l2")
+    assert objective(z, y, x_pol) <= _slsqp_best(z, y) + 1e-8
+    assert np.linalg.norm(x_pol) <= 1.0 + 1e-9
+
+
+def test_ssn_prefixes_match_admm_after_polish():
+    """Both general solvers + the shared polish land on the same optima
+    for every prefix of a hard instance."""
+    z, y = _hard_instance(T=40, seed=2)
+    ssn = ExactFTL(d=5, T_max=40, norm="l2", method="ssn", iters=200,
+                   allow_linear=False)
+    admm = ExactFTL(d=5, T_max=40, norm="l2", iters=6000,
+                    allow_linear=False)
+    a_s = ssn.prefix_actions(z, y)
+    a_a = admm.prefix_actions(z, y)
+    for p in range(1, 41):
+        fs = objective(z[:p], y[:p], a_s[p])
+        fa = objective(z[:p], y[:p], a_a[p])
+        # Two-sided at the measured degenerate-valley envelope (see
+        # docs/BENCHMARKS.md): either path may land on either end of a
+        # ~2.4e-6-flat face; the absolute bars vs SLSQP live above.
+        assert abs(fs - fa) <= 3e-6, p
+        assert np.linalg.norm(a_s[p]) <= 1.0 + 1e-9
+
+
+def test_ssn_banded_consistency():
+    """Band solves agree with the full-batch solve at the shared
+    tolerance (rows are independent; band exit points differ)."""
+    import jax.numpy as jnp
+    z, y = _hard_instance(T=60, seed=3)
+    zj, yj = jnp.asarray(z), jnp.asarray(y)
+    X_full, r_full, _ = ssn_all_prefixes(zj, yj, iters=200, tol=1e-5)
+    assert float(np.max(np.asarray(r_full))) <= 1e-4
+    for lo in (0, 20, 40):
+        Xb, rb, _ = ssn_all_prefixes(zj, yj, iters=200, tol=1e-5,
+                                     band_lo=lo, band_rows=20)
+        for k in range(20):
+            p = lo + k + 1
+            fb = objective(z[:p], y[:p], np.asarray(Xb)[k])
+            ff = objective(z[:p], y[:p], np.asarray(X_full)[p - 1])
+            assert abs(fb - ff) <= 1e-4, p
+
+
+def test_ssn_contract_data_sanity():
+    """On certified data the SSN must agree with the closed form (it is
+    never used there in production, but correctness must not depend on
+    the data regime)."""
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.linear_regime import (
+        certified_prefix_actions)
+    rng = np.random.default_rng(4)
+    z = rng.normal(size=(30, 5))
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=1, keepdims=True))
+    y = np.sign(z @ rng.normal(size=5) + 0.3 * rng.normal(size=30))
+    y[y == 0] = 1.0
+    acts = certified_prefix_actions(z, y, "l2")
+    assert acts is not None
+    X, res, _ = ssn_all_prefixes(jnp.asarray(z), jnp.asarray(y),
+                                 iters=200, tol=1e-5)
+    for p in (1, 10, 30):
+        f_ssn = objective(z[:p], y[:p], np.asarray(X)[p - 1])
+        f_lin = objective(z[:p], y[:p], acts[p])
+        assert f_ssn <= f_lin + 1e-4, p
+
+
+def test_evaluate_stream_exact_ssn_matches_xla():
+    """solver='ssn' (semismooth-Newton bands + polish) reproduces the
+    ADMM-band statistics on a random contract family."""
+    from online_convex_optimization_tpu.data.sequences import CASES
+    from online_convex_optimization_tpu.experiments.evaluate import (
+        evaluate_stream_exact)
+
+    builder = dict(CASES)["Random i.i.d. (separable)"]
+    kw = dict(T_grid=[30, 50], runs=1, replicates=2, iters=1200,
+              dtype=np.float64, stream_name="ssn", progress=False)
+    s_s = evaluate_stream_exact(builder, solver="ssn", **kw)
+    s_x = evaluate_stream_exact(builder, solver="xla", **kw)
+    for key in s_x:
+        np.testing.assert_allclose(s_s[key][0], s_x[key][0], atol=3e-6)
+
+
+def test_ssn_failure_contract_and_validation():
+    """Starved Newton budget surfaces through the same raise/sentinel
+    contract as the ADMM; ssn rejects non-l2 norms."""
+    z, y = _hard_instance(T=40, seed=5)
+    starved = ExactFTL(d=5, T_max=40, norm="l2", method="ssn", iters=1,
+                       fail_tol=1e-6, allow_linear=False)
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        starved.solve_full(z, y)
+    with pytest.raises(ValueError, match="l2"):
+        ExactFTL(d=5, T_max=40, norm="linf", method="ssn")
+    with pytest.raises(ValueError, match="method"):
+        ExactFTL(d=5, T_max=40, method="nope")
