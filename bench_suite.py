@@ -329,6 +329,22 @@ def main():
                     "value": Bp * Tp / secs, "unit": "prefix solves/s",
                     "note": "600-iteration batched ADMM"})
 
+    # Certified closed-form exact solves (models/linear_regime.py): on
+    # contract data every prefix minimizer is w_t/||w_t||, checked by the
+    # per-prefix optimality certificate — host f64, zero iterations.
+    from online_convex_optimization_tpu.models.linear_regime import (
+        certified_prefix_actions_batch)
+    Bc, Tc = (4, 128) if small else (16, 1024)
+    t0 = time.perf_counter()
+    Xc = certified_prefix_actions_batch(z[:Bc, :Tc], y[:Bc, :Tc], "l2")
+    secs = time.perf_counter() - t0
+    if Xc is not None:
+        records.append({"metric": "exact_prefix_certified_per_s",
+                        "value": Bc * Tc / secs,
+                        "unit": "prefix solves/s",
+                        "note": "certified closed form incl. the "
+                                "certificate check (host f64, EXACT)"})
+
     for r in records:
         r["backend"] = backend
         print(r)
