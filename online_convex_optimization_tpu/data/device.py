@@ -24,10 +24,25 @@ from online_convex_optimization_tpu.ops.pallas_game import (
     LANES, SUBLANES, sublanes_for)
 
 
+# Strict-ball deflation: a plain f32 clip z/max(||z||,1) leaves rounded
+# rows whose EXACT norms exceed 1 by ~1e-7, which voids the a-priori
+# optimality certificate below.  Deflating by 2e-6 (>> the ~5e-7 worst-
+# case f32 rounding inflation of norm + divide + per-component rounding)
+# guarantees exact row norms <= 1, so by Cauchy-Schwarz every prediction
+# of every unit-ball action satisfies |q| <= 1 and the linear-regime
+# identity |q - y| = 1 - q y (models/linear_regime.py) holds EXACTLY for
+# every prefix of every device-generated sequence: the fused kernels'
+# FTL track (actions w_t/||w_t||) plays the certified-exact FTL
+# minimizers — exact FTL at kernel throughput, certified A PRIORI.
+# (f32 storage only: bf16 packing re-rounds rows by up to 2^-9, so
+# bf16-stored games are near-exact rather than certified.)
+_STRICT = 1.0 - 2e-6
+
+
 def _clip_rows(z: jnp.ndarray) -> jnp.ndarray:
-    """Row-wise clip to the unit ball: z /= max(||z||, 1)."""
+    """Row-wise strict clip into the unit ball (see _STRICT)."""
     norms = jnp.sqrt(jnp.sum(z * z, axis=-1, keepdims=True))
-    return z / jnp.maximum(norms, 1.0)
+    return z * (_STRICT / jnp.maximum(norms, 1.0))
 
 
 @partial(jax.jit, static_argnames=("B", "T", "d"))
@@ -81,7 +96,7 @@ def random_packed_batch(key, T: int, lane_batch: int, d: int = 5,
     kz, ky = jax.random.split(key)
     z = jax.random.normal(kz, (T, d, S, lane_batch), jnp.float32)
     norms = jnp.sqrt(jnp.sum(z * z, axis=1, keepdims=True))
-    z = (z / jnp.maximum(norms, 1.0)).astype(dtype)
+    z = (z * (_STRICT / jnp.maximum(norms, 1.0))).astype(dtype)
     y = jax.random.rademacher(ky, (T, S, lane_batch), jnp.float32).astype(dtype)
     return z, y
 

@@ -290,6 +290,27 @@ def test_estimate_g_exact_auto_matches_general(tmp_path):
         assert g_a[T] == pytest.approx(g_x[T], abs=1e-6)
 
 
+def test_device_generated_data_is_a_priori_certified():
+    """Device generators deflate rows strictly into the unit ball
+    (data/device.py::_STRICT), so EXACT f64 row norms are <= 1 and by
+    Cauchy-Schwarz every prefix of every sequence passes the optimality
+    certificate without checking — the fused kernels' FTL track plays
+    certified-exact FTL minimizers."""
+    import jax
+
+    from online_convex_optimization_tpu.data.device import (
+        random_game_batch,
+        separable_stream_batch,
+    )
+    z1, y1 = random_game_batch(jax.random.key(0), 8, 64)
+    z2, y2, _ = separable_stream_batch(jax.random.key(1), 8, 64)
+    for z, y in ((z1, y1), (z2, y2)):
+        zh = np.asarray(z, np.float64)
+        assert float(np.linalg.norm(zh, axis=-1).max()) <= 1.0
+        assert certified_prefix_actions_batch(
+            zh, np.asarray(y, np.float64), "l2") is not None
+
+
 def test_exact_ftl_equals_plain_ftl_on_contract_data():
     """THE theorem, end to end: on certified data the exact-FTL trajectory
     IS linearized FTL (x*_t = w_t/||w_t||), so the replayed exact-FTL
