@@ -335,9 +335,12 @@ def main():
     from online_convex_optimization_tpu.models.linear_regime import (
         certified_prefix_actions_batch)
     Bc, Tc = (4, 128) if small else (16, 1024)
-    t0 = time.perf_counter()
     Xc = certified_prefix_actions_batch(z[:Bc, :Tc], y[:Bc, :Tc], "l2")
-    secs = time.perf_counter() - t0
+    secs = float("inf")  # warm best-of-3 (first call pays allocation)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        Xc = certified_prefix_actions_batch(z[:Bc, :Tc], y[:Bc, :Tc], "l2")
+        secs = min(secs, time.perf_counter() - t0)
     if Xc is not None:
         records.append({"metric": "exact_prefix_certified_per_s",
                         "value": Bc * Tc / secs,

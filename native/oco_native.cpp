@@ -292,6 +292,70 @@ void exact_prefix_actions(const double* z, const double* y, int64_t T,
   }
 }
 
+// Certified closed-form exact FTL — the native twin of
+// online_convex_optimization_tpu/models/linear_regime.py.  For +-1
+// labels, |q - y| >= 1 - q*y with equality iff |q| <= 1, so when the
+// per-prefix certificate max_{i<=t} |<z_i, x*_t>| <= 1 holds, the linear
+// argmin x*_t (l2: w_t/||w_t||) is the EXACT unique prefix minimizer.
+// Returns 1 and fills out ((T+1) x d) when EVERY prefix certifies;
+// returns 0 with out untouched otherwise (caller falls back to the
+// warm-started ADMM above).  No interpolation rescue here: f64 data with
+// exact row norms <= 1 never needs it, and anything else belongs to the
+// general solver.
+int certified_prefix_actions(const double* z, const double* y, int64_t T,
+                             int64_t d, int norm, double* out) {
+  const double kUnique = 1e-6;
+  const double kSlack = 1e-14;
+  for (int64_t i = 0; i < T; ++i) {  // contract check
+    if (y[i] == 1.0 || y[i] == -1.0) continue;
+    if (y[i] == 0.0) {
+      bool zero = true;
+      for (int64_t j = 0; j < d; ++j) zero = zero && (z[i * d + j] == 0.0);
+      if (zero) continue;
+    }
+    return 0;
+  }
+  std::vector<double> w(d, 0.0), X((size_t)T * d);
+  for (int64_t t = 0; t < T; ++t) {
+    const double* zr = z + t * d;
+    for (int64_t j = 0; j < d; ++j) w[j] += y[t] * zr[j];
+    double* xt = X.data() + t * d;
+    if (norm == 0) {  // l2: w/||w||
+      double nsq = 0.0;
+      for (int64_t j = 0; j < d; ++j) nsq += w[j] * w[j];
+      const double n = std::sqrt(nsq);
+      if (n <= kUnique) return 0;  // non-unique argmin: general solver
+      for (int64_t j = 0; j < d; ++j) xt[j] = w[j] / n;
+    } else if (norm == 1) {  // linf: sign(w)
+      for (int64_t j = 0; j < d; ++j) {
+        if (std::fabs(w[j]) <= kUnique) return 0;
+        xt[j] = w[j] > 0.0 ? 1.0 : -1.0;
+      }
+    } else {  // l1: +-e_j at the strict max coordinate
+      int64_t jm = 0;
+      double top = -1.0, second = -1.0;
+      for (int64_t j = 0; j < d; ++j) {
+        const double a = std::fabs(w[j]);
+        if (a > top) { second = top; top = a; jm = j; }
+        else if (a > second) { second = a; }
+      }
+      if (top - second <= kUnique) return 0;
+      for (int64_t j = 0; j < d; ++j) xt[j] = 0.0;
+      xt[jm] = w[jm] > 0.0 ? 1.0 : -1.0;
+    }
+  }
+  for (int64_t t = 0; t < T; ++t) {  // optimality certificate
+    const double* xt = X.data() + t * d;
+    for (int64_t i = 0; i <= t; ++i) {
+      const double q = dot_seq(z + i * d, xt, d);
+      if (std::fabs(q) > 1.0 + kSlack) return 0;
+    }
+  }
+  for (int64_t j = 0; j < d; ++j) out[j] = 0.0;  // prefix 0: zero action
+  std::copy(X.begin(), X.end(), out + d);
+  return 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -339,6 +403,12 @@ void oco_exact_prefix_actions_batch(const double* z, const double* y,
   for (int64_t b = 0; b < B; ++b)
     exact_prefix_actions(z + b * T * d, y + b * T, T, d, norm, iters_first,
                          iters_warm, rho, alpha, tol, out + b * (T + 1) * d);
+}
+
+int oco_certified_prefix_actions(const double* z, const double* y,
+                                 int64_t T, int64_t d, int norm,
+                                 double* out) {
+  return certified_prefix_actions(z, y, T, d, norm, out);
 }
 
 int oco_num_threads() {

@@ -59,6 +59,9 @@ def load() -> ctypes.CDLL:
     lib.oco_exact_prefix_actions_batch.argtypes = [
         _pd, _pd, _i64, _i64, _i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _f64, _f64, _f64, _pd]
+    lib.oco_certified_prefix_actions.argtypes = [
+        _pd, _pd, _i64, _i64, ctypes.c_int, _pd]
+    lib.oco_certified_prefix_actions.restype = ctypes.c_int
     lib.oco_num_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -102,15 +105,35 @@ def simulate_smart_batch(z: np.ndarray, y: np.ndarray, thresh,
     return out, sw
 
 
-def exact_prefix_actions(z: np.ndarray, y: np.ndarray, *, norm: str = "l2",
-                         iters_first: int = 4000, iters_warm: int = 600,
-                         rho: float = 2.0, alpha: float = 1.7,
-                         tol: float = 1e-9) -> np.ndarray:
-    """Warm-started per-prefix exact-FTL solutions, shape (T+1, d)."""
+def certified_prefix_actions(z: np.ndarray, y: np.ndarray, *,
+                             norm: str = "l2") -> Optional[np.ndarray]:
+    """Certified closed-form exact-FTL trajectory (native twin of
+    models/linear_regime.py), or None if any prefix is uncertified."""
     lib = load()
     z = np.ascontiguousarray(z, dtype=np.float64)
     y = np.ascontiguousarray(y, dtype=np.float64)
     T, d = z.shape
+    out = np.empty(((T + 1), d), dtype=np.float64)
+    ok = lib.oco_certified_prefix_actions(z, y, T, d, _NORM_CODE[norm], out)
+    return out if ok else None
+
+
+def exact_prefix_actions(z: np.ndarray, y: np.ndarray, *, norm: str = "l2",
+                         iters_first: int = 4000, iters_warm: int = 600,
+                         rho: float = 2.0, alpha: float = 1.7,
+                         tol: float = 1e-9,
+                         allow_linear: bool = True) -> np.ndarray:
+    """Per-prefix exact-FTL solutions, shape (T+1, d): the certified
+    closed form when the whole trajectory certifies (exact, zero
+    iterations), the warm-started ADMM otherwise."""
+    lib = load()
+    z = np.ascontiguousarray(z, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    T, d = z.shape
+    if allow_linear:
+        lin = certified_prefix_actions(z, y, norm=norm)
+        if lin is not None:
+            return lin
     out = np.empty(((T + 1), d), dtype=np.float64)
     lib.oco_exact_prefix_actions(z, y, T, d, _NORM_CODE[norm],
                                  iters_first, iters_warm, rho, alpha, tol, out)

@@ -68,9 +68,10 @@ def test_exact_prefix_actions_cross_validates_device_admm(batch):
     from online_convex_optimization_tpu.models.exact_ftl import ExactFTL
     z, y = batch
     z1, y1 = z[0][:60], y[0][:60]
-    native_actions = native.exact_prefix_actions(z1, y1, norm="l2")
-    device_actions = ExactFTL(d=5, T_max=60, norm="l2",
-                              iters=4000).prefix_actions(z1, y1)
+    native_actions = native.exact_prefix_actions(z1, y1, norm="l2",
+                                                 allow_linear=False)
+    device_actions = ExactFTL(d=5, T_max=60, norm="l2", iters=4000,
+                              allow_linear=False).prefix_actions(z1, y1)
 
     def obj(x, p):
         return 0.5 * np.sum(np.abs(z1[:p] @ x - y1[:p]))
@@ -87,7 +88,7 @@ def test_exact_prefix_linf_matches_lp(batch):
     z1, y1 = z[0][:50], y[0][:50]
     acts = native.exact_prefix_actions(z1, y1, norm="linf",
                                        iters_first=20000, iters_warm=6000,
-                                       tol=1e-10)
+                                       tol=1e-10, allow_linear=False)
     T, d = z1.shape
     c = np.concatenate([np.zeros(d), 0.5 * np.ones(T)])
     A_ub = np.block([[z1, -np.eye(T)], [-z1, -np.eye(T)]])
@@ -108,7 +109,7 @@ def test_exact_prefix_l1_matches_lp(batch):
     z1, y1 = z[0][:50], y[0][:50]
     acts = native.exact_prefix_actions(z1, y1, norm="l1",
                                        iters_first=20000, iters_warm=6000,
-                                       tol=1e-10)
+                                       tol=1e-10, allow_linear=False)
     T, d = z1.shape
     # vars = [x+ (d), x- (d), s (T)]
     c = np.concatenate([np.zeros(2 * d), 0.5 * np.ones(T)])
@@ -127,3 +128,28 @@ def test_exact_prefix_l1_matches_lp(batch):
         assert np.sum(np.abs(acts[p])) <= 1.0 + 1e-8, p
     obj_native = 0.5 * np.sum(np.abs(z1 @ acts[-1] - y1))
     assert obj_native == pytest.approx(obj_lp, abs=1e-4)
+
+
+def test_certified_prefix_actions_matches_python_twin(batch):
+    """Native certified closed form == models/linear_regime (both exact:
+    equality to f64 rounding), and declines out-of-contract data."""
+    from online_convex_optimization_tpu.models.linear_regime import (
+        certified_prefix_actions)
+    z, y = batch
+    # Strictly re-clip in f64 so every prefix certifies a priori.
+    z1 = np.array(z[0][:60], np.float64)
+    z1 *= (1.0 - 1e-12) / np.maximum(
+        1.0, np.linalg.norm(z1, axis=1, keepdims=True))
+    y1 = np.asarray(y[0][:60], np.float64)
+    nat = native.certified_prefix_actions(z1, y1, norm="l2")
+    ref = certified_prefix_actions(z1, y1, "l2")
+    assert nat is not None and ref is not None
+    np.testing.assert_allclose(nat, ref, atol=1e-13)
+    # exact_prefix_actions dispatches to it by default
+    via = native.exact_prefix_actions(z1, y1, norm="l2")
+    np.testing.assert_allclose(via, nat, atol=0)
+    # out of contract: unclipped rows must decline
+    rng = np.random.default_rng(3)
+    z2 = 3.0 * rng.normal(size=(30, 5))
+    y2 = np.sign(z2 @ rng.normal(size=5)); y2[y2 == 0] = 1.0
+    assert native.certified_prefix_actions(z2, y2, norm="l2") is None
