@@ -329,7 +329,7 @@ def evaluate_stream_exact(
             from online_convex_optimization_tpu.models.ssn import (
                 ssn_all_prefixes)
 
-            def _band(z1, y1, lo, st=None, budget=300):
+            def _band(z1, y1, lo, st=None, budget=2000):
                 return ssn_all_prefixes(z1.astype(jnp.float64),
                                         y1.astype(jnp.float64),
                                         iters=budget, tol=2e-4,

@@ -394,6 +394,10 @@ class ExactFTL:
         """General-path all-prefix band solve via the configured method."""
         iters = self.iters if iters is None else iters
         if self.method == "ssn":
+            # Newton-step cap: slow-tail instances (near-kink residuals)
+            # need ~1e3 steps (measured); the while_loop exits early on
+            # easy rows, so a generous cap costs nothing.
+            iters = max(iters, 2000)
             # SSN is an f64-grade method: at the continuation floor the
             # model condition is ~1/mu, and in f32 the duality-gap
             # certificate hits an irreducible ~1e-2 noise floor on hard
@@ -417,6 +421,7 @@ class ExactFTL:
         """General-path full-sequence solve via the configured method."""
         iters = self.iters if iters is None else iters
         if self.method == "ssn":
+            iters = max(iters, 2000)  # see _band_solve: slow-tail cover
             from online_convex_optimization_tpu.models.ssn import ssn_full
             with jax.enable_x64():  # see _band_solve: ssn is f64-grade
                 return ssn_full(jnp.asarray(np.asarray(z, np.float64)),

@@ -136,6 +136,41 @@ def test_evaluate_stream_exact_ssn_matches_xla():
         np.testing.assert_allclose(s_s[key][0], s_x[key][0], atol=3e-6)
 
 
+@pytest.mark.parametrize("seed", [5, 7, 8, 9])
+def test_ssn_fuzz_matches_admm_after_polish(seed):
+    """Randomized (scale, T, noise) out-of-contract instances, including
+    the measured slow-tail seeds (near-kink residuals take ~1e3 Newton
+    steps — the budget below covers them; at 400 they end ~4e-4-converged
+    and the polish can lose ~3e-4): post-polish parity with the ADMM."""
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.exact_ftl import (
+        _admm_all_prefixes)
+    from online_convex_optimization_tpu.models.polish import (
+        polish_prefix_actions)
+
+    rng = np.random.default_rng(seed)
+    T = int(rng.integers(20, 90))
+    scale = float(rng.uniform(0.5, 4.0))
+    z = scale * rng.normal(size=(T, 5))
+    y = np.sign(z @ rng.normal(size=5)
+                + rng.uniform(0, 0.8) * rng.normal(size=T))
+    y[y == 0] = 1.0
+    zj, yj = jnp.asarray(z), jnp.asarray(y)
+    Xs, rs, _ = ssn_all_prefixes(zj, yj, iters=2000, tol=1e-5)
+    assert float(np.max(np.asarray(rs))) <= 1e-4
+    Xa, _, _ = _admm_all_prefixes(zj, yj, norm="l2", iters=20000,
+                                  tol=1e-6, check_every=200)
+    a_s = polish_prefix_actions(z, y, np.concatenate(
+        [np.zeros((1, 5)), np.asarray(Xs, np.float64)]), "l2")
+    a_a = polish_prefix_actions(z, y, np.concatenate(
+        [np.zeros((1, 5)), np.asarray(Xa, np.float64)]), "l2")
+    for p in range(1, T + 1):
+        fs = objective(z[:p], y[:p], a_s[p])
+        fa = objective(z[:p], y[:p], a_a[p])
+        assert abs(fs - fa) <= 3e-6, p
+
+
 def test_ssn_failure_contract_and_validation():
     """Starved Newton budget surfaces through the same raise/sentinel
     contract as the ADMM; ssn rejects non-l2 norms."""
