@@ -192,15 +192,13 @@ def _ball_newton_step(H, b, d: int, dtype):
     return v / jnp.maximum(vn, 1.0)
 
 
-@partial(jax.jit, static_argnames=("iters", "check_every", "tol",
-                                   "band_rows"))
+@partial(jax.jit, static_argnames=("iters", "tol", "band_rows"))
 def ssn_all_prefixes(
     z: jnp.ndarray,
     y: jnp.ndarray,
     *,
     iters: int = 80,
     tol: float = 2e-4,
-    check_every: int = 1,
     state0=None,
     band_lo=None,
     band_rows: Optional[int] = None,
