@@ -24,7 +24,7 @@ from online_convex_optimization_tpu.data.sequences import (
     sample_g_instance,
 )
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
-from online_convex_optimization_tpu.utils.debug import checked, drop_nonfinite_stats
+from online_convex_optimization_tpu.utils.debug import checked
 
 def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
              chunk: int, check: bool = False, T_pad: int = 0) -> float:
@@ -218,14 +218,19 @@ def estimate_g_exact(
             yh = np.asarray(y[start:start + chunk, :T], np.float64)
             comp = 0.5 * np.abs(
                 np.einsum("ntd,nd->nt", zh, x_np) - yh).sum(axis=-1)
-            regs = jnp.asarray(cum[start:start + chunk] - comp)
-            n_ok, mx, _ = drop_nonfinite_stats(regs)
-            if int(n_ok) < regs.shape[0]:
+            regs = cum[start:start + chunk] - comp
+            # NaN-sentinel containment (SURVEY §5), host-side: regs is
+            # host data here, and eager jnp ops would each round-trip the
+            # TPU relay (measured ~60 s of dispatch+compile per g sweep).
+            finite = np.isfinite(regs)
+            n_ok = int(finite.sum())
+            if n_ok < regs.shape[0]:
                 import logging
                 logging.getLogger("oco").warning(
                     "estimate_g_exact T=%d: dropped %d/%d diverged solves",
-                    T, regs.shape[0] - int(n_ok), regs.shape[0])
-            max_regret = max(max_regret, float(mx))
+                    T, regs.shape[0] - n_ok, regs.shape[0])
+            if n_ok:
+                max_regret = max(max_regret, float(regs[finite].max()))
         g[T] = max_regret
         if cache_path:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
