@@ -69,6 +69,20 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
              if cfg.checkpoint else None)
 
     # 1) empirical g(T)
+    if cfg.exact and cfg.exact_solver in ("auto", "xla"):
+        # Pre-compile the deterministic families' fallback ADMM program
+        # in a daemon thread: the certified path keeps the main thread
+        # host-bound meanwhile, so the ~1-2 min remote compile overlaps
+        # instead of serializing (evaluate.warm_exact_fallback).
+        import threading
+
+        from online_convex_optimization_tpu.experiments.evaluate import (
+            warm_exact_fallback)
+        threading.Thread(
+            target=lambda: warm_exact_fallback(
+                max(cfg.T_grid), norm=cfg.norm, iters=cfg.exact_iters,
+                dtype=dtype, admm_precision=cfg.exact_admm_precision),
+            daemon=True).start()
     if cfg.exact:
         g_emp = estimate_g_exact(cfg.T_grid, runs=cfg.g_runs,
                                  base_seed=cfg.base_seed, eta0=cfg.eta0,

@@ -202,6 +202,46 @@ def evaluate_stream_with_stats(
     return stats
 
 
+def warm_exact_fallback(T_max: int, *, norm: str = "l2",
+                        iters: int = 2000, dtype=np.float64,
+                        admm_precision: str = "highest") -> None:
+    """Compile the general-solver band program AHEAD of the exact
+    pipeline (the driver runs this in a daemon thread): the certified
+    fast path keeps the main thread host-bound for the first ~80 s of an
+    exact run, which is exactly the remote-compile latency of the
+    deterministic families' fallback ADMM program — overlapping the two
+    takes the compile off the critical path.  The warmed program must
+    match the fallback's jaxpr exactly (B = 1 deterministic cells,
+    banded lax.map, 3x iteration budget, tol 2e-4): XLA dedups the later
+    fresh-closure jit by computation fingerprint."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.exact_ftl import (
+        _admm_all_prefixes)
+
+    T_max = int(T_max)
+    band_rows = 256 if T_max >= 512 else T_max
+    band_los = sorted({min(b * band_rows, T_max - band_rows)
+                       for b in range(-(-T_max // band_rows))})
+    band_los_arr = jnp.asarray(band_los, jnp.int32)
+
+    @jax.jit
+    def prefix_solve(zz, yy):
+        def one(lo):
+            return jax.vmap(
+                lambda z1, y1: _admm_all_prefixes(
+                    z1, y1, norm=norm, iters=3 * iters, tol=2e-4,
+                    precision=admm_precision, band_lo=lo,
+                    band_rows=band_rows))(zz, yy)
+        return jax.lax.map(one, band_los_arr)
+
+    z = jnp.zeros((1, T_max, 5), dtype)
+    y = jnp.zeros((1, T_max), dtype)
+    # Trace + compile only; an all-zero problem converges immediately.
+    jax.block_until_ready(prefix_solve(z, y)[1])
+
+
 def evaluate_stream_exact(
     stream_builder: Callable,
     T_grid,
