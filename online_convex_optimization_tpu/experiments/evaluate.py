@@ -13,6 +13,15 @@ device batches:
     ``simulate_smart_batch`` call with a threshold vector;
   - aggregation reproduces the reference exactly: mean over replicates per
     run, then mean +- 1.96*SEM across runs (driver.py:114-127).
+
+The EXACT mode (``evaluate_stream_exact``) additionally dispatches per
+cell on the certified linear regime (models/linear_regime.py): certified
+cells are solved by the closed form and scored entirely host-side in f64
+(the reference exact driver's own arithmetic — no device work at all),
+while uncertified cells (the deterministic w = 0 families,
+out-of-contract data) run the banded device ADMM + host active-set
+polish, whose one-time remote compile ``warm_exact_fallback``
+pre-triggers from a driver daemon thread.
 """
 
 from __future__ import annotations

@@ -192,3 +192,13 @@ def test_estimate_g_exact_cache_resume(tmp_path):
     on_disk = {int(k): v for k, v in
                json.load(open(cache)).items()}
     assert on_disk == g2
+
+
+def test_warm_exact_fallback_compiles_the_band_program():
+    """The driver's prewarm thread target must trace + run the fallback
+    band program without error for both banding regimes (T >= 512 banded,
+    small-T unbanded); an all-zero problem converges immediately."""
+    from online_convex_optimization_tpu.experiments.evaluate import (
+        warm_exact_fallback)
+    warm_exact_fallback(40, norm="l2", iters=50, dtype=np.float64)
+    warm_exact_fallback(520, norm="l2", iters=50, dtype=np.float64)
