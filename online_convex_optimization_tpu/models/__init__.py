@@ -11,6 +11,10 @@ from online_convex_optimization_tpu.models.quadratic import (
     simulate_quadratic,
     simulate_quadratic_batch,
 )
+from online_convex_optimization_tpu.models.linear_regime import (
+    certified_full_solution,
+    certified_prefix_actions,
+)
 from online_convex_optimization_tpu.models.smart import (
     simulate_smart,
     simulate_smart_batch,
@@ -18,6 +22,8 @@ from online_convex_optimization_tpu.models.smart import (
 
 __all__ = [
     "RunResult",
+    "certified_full_solution",
+    "certified_prefix_actions",
     "simulate_linear",
     "simulate_linear_batch",
     "simulate_quadratic",
