@@ -183,3 +183,41 @@ def test_ssn_failure_contract_and_validation():
         ExactFTL(d=5, T_max=40, norm="linf", method="ssn")
     with pytest.raises(ValueError, match="method"):
         ExactFTL(d=5, T_max=40, method="nope")
+
+
+def test_ssn_f32_certificate_sound_and_covering():
+    """The f32 compensated certificate (comp mode in ssn_all_prefixes):
+    the reported res must be a RIGOROUS upper bound on the true
+    normalized suboptimality (soundness — a feasible dual can only
+    weaken, never falsify), and must cover >= 95% of prefixes at the
+    production fail_tol 2e-4 on a hard out-of-contract instance.  This
+    is the f32-vs-f64 gap that kept the SSN x64-only through round 3
+    (docs/BENCHMARKS.md: 16% uncertified at T=1024)."""
+    import jax.numpy as jnp
+    z, y = _hard_instance(T=96, seed=3)
+    zf = jnp.asarray(z, jnp.float32)
+    yf = jnp.asarray(y, jnp.float32)
+    X32, res32, _ = ssn_all_prefixes(zf, yf, iters=800, tol=1e-5)
+    assert X32.dtype == jnp.float32
+    # f64 oracle on the f32-SEEN data (same bits the f32 run solves).
+    z64 = np.asarray(zf, np.float64)
+    y64 = np.asarray(yf, np.float64)
+    X64, res64, _ = ssn_all_prefixes(jnp.asarray(z64), jnp.asarray(y64),
+                                     iters=2000, tol=1e-7)
+    assert float(np.max(np.asarray(res64))) <= 1e-5
+    T = len(y)
+    m = np.tril(np.ones((T, T)))
+
+    def fvals(X):
+        X = np.asarray(X, np.float64)
+        return 0.5 * (np.abs(X @ z64.T - y64[None, :]) * m).sum(1)
+
+    fstar, f32v = fvals(X64), fvals(X32)
+    sub = (f32v - fstar) / (1.0 + fstar)
+    res = np.asarray(res32, np.float64)
+    # Soundness: certified gap upper-bounds the true suboptimality.
+    assert np.all(sub <= res + 1e-6), (
+        f"unsound rows: {np.where(sub > res + 1e-6)[0]}")
+    # Coverage at the production fail_tol.
+    frac = float((res <= 2e-4).mean())
+    assert frac >= 0.95, f"only {frac:.1%} certified at 2e-4"
