@@ -388,6 +388,10 @@ class ExactFTL:
         self._y_buf = np.zeros(self.T_max)
         self._length = 0
         self._state = None  # warm-start ADMM state for append_row
+        self._state_length = 0  # prefix length the state was solved at —
+        #   certified early returns advance _length WITHOUT advancing the
+        #   state, so a later general solve must detect the stale state
+        #   and take the full iteration budget (round-2 ADVICE).
         self.last_info: dict = {}
 
     def _band_solve(self, z, y, lo, rows, state0=None, iters=None):
@@ -398,19 +402,29 @@ class ExactFTL:
             # need ~1e3 steps (measured); the while_loop exits early on
             # easy rows, so a generous cap costs nothing.
             iters = max(iters, 2000)
-            # SSN is an f64-grade method: at the continuation floor the
-            # model condition is ~1/mu, and in f32 the duality-gap
-            # certificate hits an irreducible ~1e-2 noise floor on hard
-            # instances (measured).  Force x64 for the solve regardless
-            # of the ambient flag; the f32 input VALUES are preserved.
             from online_convex_optimization_tpu.models.ssn import (
                 ssn_all_prefixes)
-            with jax.enable_x64():
-                return ssn_all_prefixes(
-                    jnp.asarray(np.asarray(z, np.float64)),
-                    jnp.asarray(np.asarray(y, np.float64)),
-                    iters=iters, tol=max(self.stop_tol, 1e-6),
-                    state0=state0, band_lo=lo, band_rows=rows)
+            if jax.default_backend() != "tpu":
+                # f64 available: strictly better (100% certified, no
+                # certificate overhead).  Force x64 regardless of the
+                # ambient flag; the f32 input VALUES are preserved.
+                with jax.enable_x64():
+                    return ssn_all_prefixes(
+                        jnp.asarray(np.asarray(z, np.float64)),
+                        jnp.asarray(np.asarray(y, np.float64)),
+                        iters=iters, tol=max(self.stop_tol, 1e-6),
+                        state0=state0, band_lo=lo, band_rows=rows)
+            # TPU: f32 with the compensated multi-candidate duality-gap
+            # certificate (models/ssn.py comp mode; 99%+ of hard-instance
+            # prefixes certified at 2e-4 — measured).  The looser tol
+            # matches the polish's identification bar; rows the
+            # certificate cannot close stay above fail_tol and escalate
+            # through the caller's usual failure contract.
+            return ssn_all_prefixes(
+                jnp.asarray(np.asarray(z, np.float32)),
+                jnp.asarray(np.asarray(y, np.float32)),
+                iters=iters, tol=max(self.stop_tol, 2e-4),
+                state0=state0, band_lo=lo, band_rows=rows)
         return _admm_all_prefixes(
             z, y, norm=self.norm, iters=iters, rho=self.rho,
             alpha=self.alpha, tol=self.stop_tol,
@@ -423,11 +437,17 @@ class ExactFTL:
         if self.method == "ssn":
             iters = max(iters, 2000)  # see _band_solve: slow-tail cover
             from online_convex_optimization_tpu.models.ssn import ssn_full
-            with jax.enable_x64():  # see _band_solve: ssn is f64-grade
-                return ssn_full(jnp.asarray(np.asarray(z, np.float64)),
-                                jnp.asarray(np.asarray(y, np.float64)),
-                                iters=iters, tol=max(self.stop_tol, 1e-6),
-                                state0=state0)
+            if jax.default_backend() != "tpu":
+                with jax.enable_x64():  # see _band_solve: f64 preferred
+                    return ssn_full(
+                        jnp.asarray(np.asarray(z, np.float64)),
+                        jnp.asarray(np.asarray(y, np.float64)),
+                        iters=iters, tol=max(self.stop_tol, 1e-6),
+                        state0=state0)
+            return ssn_full(jnp.asarray(np.asarray(z, np.float32)),
+                            jnp.asarray(np.asarray(y, np.float32)),
+                            iters=iters, tol=max(self.stop_tol, 2e-4),
+                            state0=state0)
         return _admm_full(z, y, norm=self.norm, iters=iters, rho=self.rho,
                           alpha=self.alpha, tol=self.stop_tol,
                           precision=self.iter_precision, state0=state0)
@@ -438,6 +458,7 @@ class ExactFTL:
         self._y_buf[:] = 0.0
         self._length = 0
         self._state = None
+        self._state_length = 0
 
     def _zero_state(self):
         return (jnp.zeros((self.d,)), jnp.zeros((self.T_max,)),
@@ -476,7 +497,14 @@ class ExactFTL:
             self._state = self._zero_state()
         m = np.zeros(self.T_max)
         m[:self._length] = 1.0
-        iters = self.iters if self._length == 1 else self.warm_iters
+        # The 80-iteration warm budget assumes the state is ONE row
+        # behind.  After a certified-linear streak the state is several
+        # rows (or a whole sequence) stale — warm-continuing it with the
+        # short budget silently under-converges, so take the full budget
+        # whenever the state is not exactly one row behind.
+        fresh = self._state_length == self._length - 1
+        iters = (self.warm_iters if fresh and self._length > 1
+                 else self.iters)
         state, res = _admm_masked_warm(
             jnp.asarray(self._z_buf), jnp.asarray(self._y_buf),
             jnp.asarray(m), self._state, norm=self.norm, iters=iters,
@@ -491,6 +519,7 @@ class ExactFTL:
                 precision=self.iter_precision)
             res_f = float(res)
         self._state = state
+        self._state_length = self._length
         self.last_info = {"residual": res_f, "iters": iters,
                           "length": self._length}
         x = np.asarray(state[3], np.float64)

@@ -317,3 +317,36 @@ def test_prefix_actions_banded_path_T512():
         assert np.linalg.norm(actions[p]) <= 1.0 + 1e-6
         assert _obj(z[:p], y[:p], actions[p]) <= \
             _obj(z[:p], y[:p], x_full) + 1e-8
+
+
+def test_append_row_after_certified_streak_not_stale():
+    """Round-2 ADVICE: a certified-linear streak advances _length without
+    advancing the ADMM warm state; the next general solve must detect the
+    stale state and take the FULL iteration budget (the 80-iteration warm
+    budget assumes the state is exactly one row behind) — and still match
+    a cold batch solve."""
+    rng = np.random.default_rng(21)
+    T, d = 12, 5
+    # Contract rows (unit-ball, +-1 labels) certify; the final row is far
+    # out of contract so the certificate fails and the general path runs.
+    z = rng.normal(size=(T, d))
+    z /= np.maximum(np.linalg.norm(z, axis=1, keepdims=True), 1.0) * 1.001
+    y = np.sign(rng.normal(size=T))
+    y[y == 0] = 1.0
+    z[-1] *= 8.0
+    solver = ExactFTL(d=d, T_max=T, norm="l2", iters=2000, warm_iters=80,
+                      allow_linear=True)
+    for t in range(T - 1):
+        x = solver.append_row(z[t], float(y[t]))
+        assert solver.last_info.get("solver") == "certified-linear", t
+    x_last = solver.append_row(z[-1], float(y[-1]))
+    # The stale-state detector must have escalated to the full budget...
+    assert solver.last_info["iters"] == 2000
+    assert solver.last_info["converged"]
+    # ...and the result matches a cold full solve to polish accuracy.
+    cold = ExactFTL(d=d, T_max=T, norm="l2", iters=4000,
+                    allow_linear=False)
+    x_cold = cold.solve_full(z, y)
+    obj_inc = _obj(z, y, x_last)
+    obj_cold = _obj(z, y, x_cold)
+    assert obj_inc <= obj_cold + 1e-7
