@@ -26,6 +26,7 @@ pre-triggers from a driver daemon thread.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Dict, Mapping, Tuple
 
@@ -211,6 +212,79 @@ def evaluate_stream_with_stats(
     return stats
 
 
+@functools.lru_cache(maxsize=16)
+def _band_programs(T_max: int, norm: str, iters: int,
+                   admm_precision: str, use_ssn: bool, ssn_f64: bool):
+    """Jitted band-solver programs: (prefix_solve, prefix_solve_hard,
+    band_los).  ONE cached builder shared by evaluate_stream_exact and
+    the prewarm daemon (round-2 ADVICE: the prewarm used to hand-
+    duplicate this construction and relied on XLA's computation-
+    fingerprint dedup to match — now both literally hold the same jit
+    object, and the lru_cache also prevents fresh-closure retraces /
+    remote recompiles across runs).
+
+    Prefix BANDING: the per-prefix problems are independent, so the
+    T_max rows split into 256-row bands, each with its OWN while_loop —
+    short prefixes stop iterating as soon as their band converges
+    instead of waiting for the global slowest (measured 1.6x on the
+    T=1000 iid cell).  band_lo is a DYNAMIC operand so one compiled
+    program serves every band; lax.map folds all bands into one
+    dispatch (per-call relay dispatch costs ~35 ms each).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.exact_ftl import (
+        _admm_all_prefixes)
+
+    band_rows = 256 if T_max >= 512 else T_max
+    band_los = sorted({min(b * band_rows, T_max - band_rows)
+                       for b in range(-(-T_max // band_rows))})
+    band_los_arr = jnp.asarray(band_los, jnp.int32)
+
+    if use_ssn:
+        # Semismooth-Newton band solver (models/ssn.py): same banding
+        # and state-continuation contract as the ADMM; budgets here cap
+        # NEWTON steps, each worth ~25-100x an ADMM iteration.  f64 when
+        # available (accuracy-first); f32 uses the compensated multi-
+        # candidate certificate (comp mode), which is what makes the
+        # method production-usable on TPU at all.
+        from online_convex_optimization_tpu.models.ssn import (
+            ssn_all_prefixes)
+        sdt = jnp.float64 if ssn_f64 else jnp.float32
+
+        def _band(z1, y1, lo, st=None, budget=2000):
+            return ssn_all_prefixes(z1.astype(sdt), y1.astype(sdt),
+                                    iters=budget, tol=2e-4,
+                                    state0=st, band_lo=lo,
+                                    band_rows=band_rows)
+    else:
+        def _band(z1, y1, lo, st=None, budget=None):
+            return _admm_all_prefixes(
+                z1, y1, norm=norm, iters=(3 * iters if budget is None
+                                          else budget), tol=2e-4,
+                precision=admm_precision, state0=st, band_lo=lo,
+                band_rows=band_rows)
+
+    @jax.jit
+    def prefix_solve(zz, yy):
+        def one(lo):
+            return jax.vmap(
+                lambda z1, y1: _band(z1, y1, lo))(zz, yy)
+        return jax.lax.map(one, band_los_arr)  # (n_bands, B, ...)
+
+    # Escalation solver for bands with unconverged replicates: CONTINUES
+    # from the first attempt's saved state with 3x more budget (6x total
+    # ceiling) — the iteration is Markov in the state, so nothing is
+    # redone.  Recovers would-be-dropped replicates instead of
+    # sentineling them.
+    prefix_solve_hard = jax.jit(jax.vmap(
+        lambda zz, yy, st, lo: _band(zz, yy, lo, st=st,
+                                     budget=3 * iters),
+        in_axes=(0, 0, 0, None)))
+    return prefix_solve, prefix_solve_hard, band_los
+
+
 def warm_exact_fallback(T_max: int, *, norm: str = "l2",
                         iters: int = 2000, dtype=np.float64,
                         admm_precision: str = "highest") -> None:
@@ -219,34 +293,16 @@ def warm_exact_fallback(T_max: int, *, norm: str = "l2",
     fast path keeps the main thread host-bound for the first ~80 s of an
     exact run, which is exactly the remote-compile latency of the
     deterministic families' fallback ADMM program — overlapping the two
-    takes the compile off the critical path.  The warmed program must
-    match the fallback's jaxpr exactly (B = 1 deterministic cells,
-    banded lax.map, 3x iteration budget, tol 2e-4): XLA dedups the later
-    fresh-closure jit by computation fingerprint."""
+    takes the compile off the critical path.  Shares the jitted program
+    object with evaluate_stream_exact via _band_programs (B = 1
+    deterministic-cell shape compiled here)."""
     import jax
     import jax.numpy as jnp
 
-    from online_convex_optimization_tpu.models.exact_ftl import (
-        _admm_all_prefixes)
-
-    T_max = int(T_max)
-    band_rows = 256 if T_max >= 512 else T_max
-    band_los = sorted({min(b * band_rows, T_max - band_rows)
-                       for b in range(-(-T_max // band_rows))})
-    band_los_arr = jnp.asarray(band_los, jnp.int32)
-
-    @jax.jit
-    def prefix_solve(zz, yy):
-        def one(lo):
-            return jax.vmap(
-                lambda z1, y1: _admm_all_prefixes(
-                    z1, y1, norm=norm, iters=3 * iters, tol=2e-4,
-                    precision=admm_precision, band_lo=lo,
-                    band_rows=band_rows))(zz, yy)
-        return jax.lax.map(one, band_los_arr)
-
-    z = jnp.zeros((1, T_max, 5), dtype)
-    y = jnp.zeros((1, T_max), dtype)
+    prefix_solve, _, _ = _band_programs(int(T_max), norm, int(iters),
+                                        admm_precision, False, False)
+    z = jnp.zeros((1, int(T_max), 5), dtype)
+    y = jnp.zeros((1, int(T_max)), dtype)
     # Trace + compile only; an all-zero problem converges immediately.
     jax.block_until_ready(prefix_solve(z, y)[1])
 
@@ -283,21 +339,32 @@ def evaluate_stream_exact(
     (models/linear_regime.py) — on binary-label contract data the exact
     program is linear and every prefix minimizer is w_t/||w_t||, checked
     per prefix by the optimality certificate (max_i |<z_i, x*_t>| <= 1),
-    so the device solve and the polish vanish entirely; any uncertified
-    cell (the deterministic w=0 families, out-of-contract data) falls
-    back to the banded lax.map XLA ADMM.  "linear" requires the
-    certificate (raises if any cell is uncertified).  "xla" forces the
-    banded XLA formulation; "kernel" (l2/f32 only) forces the
-    VMEM-resident Pallas ADMM (ops/pallas_admm.py) — measured at PARITY
-    with the XLA path on chip (the band solve is compute-bound, not
-    HBM-bound), kept as the validated kernel formulation.
+    so the device solve and the polish vanish entirely; uncertified
+    cells split by WHY they failed: out-of-contract data (rows outside
+    the unit ball, l2) goes to the semismooth-Newton band solver
+    (models/ssn.py — f64 off-TPU, f32 + compensated certificate on
+    TPU), while in-contract selection-degenerate cells (the
+    deterministic w=0 families) stay on the banded lax.map XLA ADMM,
+    whose committed artifact statistics are bitwise-pinned.  "linear"
+    requires the certificate (raises if any cell is uncertified).
+    "xla" forces the banded XLA formulation; "ssn" forces the
+    semismooth-Newton solver for every general cell; "kernel" (l2/f32
+    only) forces the VMEM-resident Pallas ADMM (ops/pallas_admm.py) —
+    measured at PARITY with the XLA path on chip (the band solve is
+    compute-bound, not HBM-bound), kept as the validated kernel
+    formulation.
+
+    Arithmetic note ("auto"): certified cells are scored host-side in
+    f64 (the reference exact driver's own dtype) while general cells
+    are scored in the device ``dtype`` — identical when dtype is f64
+    (the committed pipelines); with an f32 dtype the mix is logged once
+    so it cannot pass silently (round-2 ADVICE).
     """
     import logging
 
     import jax
     import jax.numpy as jnp
 
-    from online_convex_optimization_tpu.models.exact_ftl import _admm_all_prefixes
     from online_convex_optimization_tpu.models.polish import polish_prefix_actions
     from online_convex_optimization_tpu.ops.hinge import normalized_hinge
 
@@ -339,13 +406,12 @@ def evaluate_stream_exact(
                          "float32 data only")
     if use_ssn and norm != "l2":
         raise ValueError("solver='ssn' supports norm='l2' only")
-    if use_ssn and not jax.config.jax_enable_x64:
-        # SSN is f64-grade: its duality-gap certificate has an
-        # irreducible f32 noise floor on hard instances (measured in
-        # docs/BENCHMARKS.md); refuse rather than under-converge.
-        raise ValueError("solver='ssn' requires x64 (pass --precision "
-                         "x64, or use the CPU backend where the driver "
-                         "enables it)")
+    # SSN dtype: f64 when available (accuracy-first); without x64 (the
+    # TPU backend) the f32 compensated multi-candidate certificate
+    # (models/ssn.py comp mode) carries the rigorous duality gap — rows
+    # it cannot close stay above fail_tol and are escalated/sentineled
+    # by the usual failure contract.
+    ssn_f64 = bool(jax.config.jax_enable_x64)
     if use_kernel:
         # VMEM-resident Pallas ADMM: per-256-row-block while_loop exit,
         # S/U never round-trip HBM during iterations (ops/pallas_admm.py).
@@ -362,57 +428,28 @@ def evaluate_stream_exact(
             return admm_all_prefixes_l2(zz, yy, iters=3 * iters, tol=2e-4,
                                         state0=st, interpret=kern_interp)
 
+        prefix_solve_hard = None    # kernel path escalates via continue
         band_los = []
     else:
-        band_rows = 256 if T_max >= 512 else T_max
-        band_los = sorted({min(b * band_rows, T_max - band_rows)
-                           for b in range(-(-T_max // band_rows))})
-        band_los_arr = jnp.asarray(band_los, jnp.int32)
+        # Shared jitted band programs (also used by the prewarm daemon).
+        prefix_solve, prefix_solve_hard, band_los = _band_programs(
+            T_max, norm, iters, admm_precision, use_ssn, ssn_f64)
 
-        if use_ssn:
-            # Semismooth-Newton band solver (models/ssn.py): same banding
-            # and state-continuation contract as the ADMM; ``iters`` here
-            # caps NEWTON steps, each worth ~25-100x an ADMM iteration.
-            # x64 is enforced above: SSN is f64-grade (accuracy-first);
-            # the f32 TPU production fallback remains the banded ADMM.
-            from online_convex_optimization_tpu.models.ssn import (
-                ssn_all_prefixes)
+    # 'auto' escalation of OUT-OF-CONTRACT cells (rows outside the unit
+    # ball — general user data, the reference's own smoke-test regime)
+    # to the semismooth-Newton solver: ~20-60 Newton steps where the
+    # ADMM takes 1.8-2.2k iterations.  In-contract uncertified cells
+    # (the deterministic w=0 families) DELIBERATELY stay on the ADMM:
+    # their minimizer sets are selection-degenerate and the committed
+    # artifact statistics are bitwise-pinned to that solver path.
+    auto_ssn = solver == "auto" and norm == "l2" and not use_kernel
 
-            def _band(z1, y1, lo, st=None, budget=2000):
-                return ssn_all_prefixes(z1.astype(jnp.float64),
-                                        y1.astype(jnp.float64),
-                                        iters=budget, tol=2e-4,
-                                        state0=st, band_lo=lo,
-                                        band_rows=band_rows)
-        else:
-            def _band(z1, y1, lo, st=None, budget=None):
-                return _admm_all_prefixes(
-                    z1, y1, norm=norm, iters=(3 * iters if budget is None
-                                              else budget), tol=2e-4,
-                    precision=admm_precision, state0=st, band_lo=lo,
-                    band_rows=band_rows)
-
-        # ONE dispatch per cell: lax.map runs the bands sequentially
-        # inside a single compiled program (each band still owns its
-        # while_loop exit) — per-call relay dispatch/fetch costs ~35 ms
-        # each through the axon tunnel, so 4x the calls would eat the
-        # banding win.
-        @jax.jit
-        def prefix_solve(zz, yy):
-            def one(lo):
-                return jax.vmap(
-                    lambda z1, y1: _band(z1, y1, lo))(zz, yy)
-            return jax.lax.map(one, band_los_arr)  # (n_bands, B, ...)
-
-        # Escalation solver for bands with unconverged replicates:
-        # CONTINUES from the first attempt's saved ADMM state with 3x
-        # more budget (6x total ceiling) — the iteration is Markov in the
-        # state, so nothing is redone.  Recovers would-be-dropped
-        # replicates instead of sentineling them.
-        prefix_solve_hard = jax.jit(jax.vmap(
-            lambda zz, yy, st, lo: _band(zz, yy, lo, st=st,
-                                         budget=3 * iters),
-            in_axes=(0, 0, 0, None)))
+    def _general_programs(z_cell, T):
+        if auto_ssn and bool(np.any(
+                np.linalg.norm(z_cell[:, :T], axis=-1) > 1.0 + 1e-9)):
+            return _band_programs(T_max, norm, iters, admm_precision,
+                                  True, ssn_f64)[:2]
+        return prefix_solve, prefix_solve_hard
 
     run_iter = range(runs)
     if progress:
@@ -447,14 +484,15 @@ def evaluate_stream_exact(
                     # reference exact driver's own dtype), so the ~0.3 s
                     # of relay transfer + dispatch per cell vanishes.
                     pending.append((T, z, y, None, None,
-                                    ("linear", X_lin)))
+                                    ("linear", X_lin), None))
                     continue
                 if require_linear:
                     raise RuntimeError(
                         f"solver='linear': cell (run={run}, T={T}) failed "
                         "the closed-form optimality certificate")
             zj, yj = jnp.asarray(z), jnp.asarray(y)
-            pending.append((T, z, y, zj, yj, prefix_solve(zj, yj)))
+            solve, hard = _general_programs(z, T)
+            pending.append((T, z, y, zj, yj, solve(zj, yj), hard))
         return pending
 
     # Prefetching keeps TWO runs' ADMM states alive ((reps, T_max, T_max)
@@ -466,6 +504,7 @@ def evaluate_stream_exact(
                    * np.dtype(dtype).itemsize)
     prefetch = state_bytes <= (4 << 30)
 
+    mixed_warned = False
     pend_next = issue(0) if runs else []
     for run in run_iter:
         pending = pend_next
@@ -478,7 +517,7 @@ def evaluate_stream_exact(
             pend_next = issue(run + 1)
         lin_cells = []
         for ti in range(len(pending)):
-            T, z, y, zj, yj, solved = pending[ti]
+            T, z, y, zj, yj, solved, escalate = pending[ti]
             pending[ti] = None  # release the ADMM states early
             is_linear = isinstance(solved[0], str) and solved[0] == "linear"
             if is_linear:
@@ -514,7 +553,7 @@ def evaluate_stream_exact(
                     bad_b = ~(res_all[bi].max(axis=1) <= fail_tol)
                     if bad_b.any():
                         stb = jax.tree.map(lambda a, bi=bi: a[bi], st_dev)
-                        Xb2, resb2, _ = prefix_solve_hard(zj, yj, stb, lo)
+                        Xb2, resb2, _ = escalate(zj, yj, stb, lo)
                         Xb2 = np.array(Xb2, np.float64)
                         bad_b2 = ~(np.asarray(resb2).max(axis=1) <= fail_tol)
                         take = bad_b & ~bad_b2   # recovered replicates
@@ -553,6 +592,16 @@ def evaluate_stream_exact(
             lin = simulate_linear_batch(zj, yj, 0, eta0)
             by_T["FTRL"][run, ti] = np.asarray(lin.cum_loss) - np.asarray(comp)
         if lin_cells:
+            if (not mixed_warned and len(lin_cells) < len(by_T["FTRL"][run])
+                    and np.dtype(dtype) != np.float64):
+                # Certified cells score host-f64, general cells score in
+                # the f32 device dtype — surface the mixed arithmetic
+                # once rather than letting it pass silently.
+                mixed_warned = True
+                logging.getLogger("oco").info(
+                    "evaluate_stream_exact[%s]: mixed scoring arithmetic "
+                    "(certified cells host-f64, general cells %s)",
+                    stream_name, np.dtype(dtype).name)
             # ---- certified cells: one batched host f64 pass per run ----
             # Replay, comparator, and FTRL in f64 on the true-horizon
             # slices; the exact-FTL action for round t is the prefix-t

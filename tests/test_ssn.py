@@ -221,3 +221,47 @@ def test_ssn_f32_certificate_sound_and_covering():
     # Coverage at the production fail_tol.
     frac = float((res <= 2e-4).mean())
     assert frac >= 0.95, f"only {frac:.1%} certified at 2e-4"
+
+
+def test_evaluate_stream_exact_auto_routes_ooc_to_ssn():
+    """solver='auto' on OUT-OF-CONTRACT data (rows outside the unit
+    ball) escalates general cells to the semismooth-Newton band solver
+    and reproduces the solver='ssn' statistics exactly.  (Against 'xla'
+    only the post-polish OBJECTIVES are comparable — degenerate flat
+    valleys make the replayed regret selection-dependent; that parity is
+    covered by the ssn fuzz tests.)  In-contract degenerate cells keep
+    the ADMM (bitwise-pinned committed artifacts) — covered by
+    test_linear_regime's auto-vs-xla case."""
+    import online_convex_optimization_tpu.models.ssn as ssn_mod
+    from online_convex_optimization_tpu.experiments import evaluate as ev
+
+    def builder(run_seed=0):
+        def sampler(T, rep=0):
+            rng = np.random.default_rng(run_seed + 31 * rep)
+            z = 2.0 * rng.normal(size=(T, 5))
+            y = np.sign(z @ rng.normal(size=5) + 0.3 * rng.normal(size=T))
+            y[y == 0] = 1.0
+            return z, y
+        return sampler
+
+    calls = {"n": 0}
+    orig = ssn_mod.ssn_all_prefixes
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    ev._band_programs.cache_clear()   # drop jitted closures over the orig
+    ssn_mod.ssn_all_prefixes = counting
+    try:
+        kw = dict(T_grid=[24, 40], runs=1, replicates=2, iters=1200,
+                  dtype=np.float64, stream_name="ooc-auto", progress=False)
+        s_a = ev.evaluate_stream_exact(builder, solver="auto", **kw)
+    finally:
+        ssn_mod.ssn_all_prefixes = orig
+        ev._band_programs.cache_clear()
+    assert calls["n"] > 0, "auto did not route the OOC cells through SSN"
+    s_s = ev.evaluate_stream_exact(builder, solver="ssn", **kw)
+    for key in s_s:
+        np.testing.assert_allclose(s_a[key][0], s_s[key][0], rtol=0,
+                                   atol=0)
