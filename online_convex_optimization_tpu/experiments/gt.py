@@ -26,6 +26,45 @@ from online_convex_optimization_tpu.data.sequences import (
 from online_convex_optimization_tpu.models.linear import simulate_linear_batch
 from online_convex_optimization_tpu.utils.debug import checked
 
+
+def _load_g_cache(cache_path: Optional[str], key: dict) -> Dict[int, float]:
+    """Resume a {T: g} table from ``cache_path`` iff its recorded
+    provenance matches ``key`` (the value-determining config: seeds,
+    run count, eta0, dtype, ...).  Silently resuming an artifact
+    produced under a DIFFERENT config would mix incomparable maxima
+    (round-2 ADVICE), so a mismatch recomputes from scratch with a
+    warning.  Legacy artifacts without a ``_meta`` entry are accepted
+    (the committed results/ tables predate provenance) but warned
+    about; they gain provenance on the next write."""
+    if not (cache_path and os.path.exists(cache_path)):
+        return {}
+    import logging
+    with open(cache_path) as f:
+        data = json.load(f)
+    meta = data.pop("_meta", None)
+    if meta is None:
+        logging.getLogger("oco").warning(
+            "g(T) cache %s has no provenance (_meta); assuming it matches "
+            "the current config", cache_path)
+    elif meta.get("key") != key:
+        logging.getLogger("oco").warning(
+            "g(T) cache %s provenance mismatch (cached %s != current %s); "
+            "recomputing from scratch", cache_path, meta.get("key"), key)
+        return {}
+    return {int(k): float(v) for k, v in data.items()}
+
+
+def _save_g_cache(cache_path: str, g: Dict[int, float], key: dict,
+                  info: dict) -> None:
+    """Write the table with its provenance: ``key`` is the
+    value-determining config compared on resume; ``info`` records
+    additional context (solver, iteration caps) for auditability."""
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    payload: dict = {str(k): v for k, v in sorted(g.items())}
+    payload["_meta"] = {"key": key, "info": info}
+    with open(cache_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
 def _g_for_T(T: int, runs: int, base_seed: int, eta0: float, dtype,
              chunk: int, check: bool = False, T_pad: int = 0) -> float:
     # check=True checkify-wraps the simulator so NaN/inf inside the scan
@@ -63,11 +102,12 @@ def estimate_g(
     progress: bool = True,
     check: bool = False,
 ) -> Dict[int, float]:
-    """g(T) table, resuming from ``cache_path`` when present."""
-    g: Dict[int, float] = {}
-    if cache_path and os.path.exists(cache_path):
-        with open(cache_path) as f:
-            g = {int(k): float(v) for k, v in json.load(f).items()}
+    """g(T) table, resuming from ``cache_path`` when its provenance
+    matches (see _load_g_cache)."""
+    meta_key = {"kind": "g_plain", "runs": int(runs),
+                "base_seed": int(base_seed), "eta0": float(eta0),
+                "dtype": np.dtype(dtype).name}
+    g = _load_g_cache(cache_path, meta_key)
 
     todo = [int(t) for t in T_grid if int(t) not in g]
     iterator = todo
@@ -83,10 +123,8 @@ def estimate_g(
         g[T] = _g_for_T(T, runs, base_seed, eta0, dtype, chunk, check,
                         T_pad=T_pad)
         if cache_path:
-            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            with open(cache_path, "w") as f:
-                json.dump({str(k): v for k, v in sorted(g.items())}, f,
-                          indent=1)
+            _save_g_cache(cache_path, g, meta_key,
+                          {"chunk": int(chunk), "check": bool(check)})
 
     return {int(t): g[int(t)] for t in T_grid}
 
@@ -123,10 +161,12 @@ def estimate_g_exact(
 
     try_linear = solver in ("auto", "linear")
 
-    g: Dict[int, float] = {}
-    if cache_path and os.path.exists(cache_path):
-        with open(cache_path) as f:
-            g = {int(k): float(v) for k, v in json.load(f).items()}
+    meta_key = {"kind": "g_exact", "runs": int(runs),
+                "base_seed": int(base_seed), "eta0": float(eta0),
+                "norm": norm, "dtype": np.dtype(dtype).name}
+    meta_info = {"solver": solver, "iters": int(iters),
+                 "admm_precision": admm_precision}
+    g = _load_g_cache(cache_path, meta_key)
 
     todo = [int(t) for t in T_grid if int(t) not in g]
     iterator = todo
@@ -233,9 +273,6 @@ def estimate_g_exact(
                 max_regret = max(max_regret, float(regs[finite].max()))
         g[T] = max_regret
         if cache_path:
-            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            with open(cache_path, "w") as f:
-                json.dump({str(k): v for k, v in sorted(g.items())}, f,
-                          indent=1)
+            _save_g_cache(cache_path, g, meta_key, meta_info)
 
     return {int(t): g[int(t)] for t in T_grid}

@@ -189,8 +189,9 @@ def test_estimate_g_exact_cache_resume(tmp_path):
     assert g2[30] == g1[30]          # reused verbatim from the artifact
     assert set(g2) == {30, 50} and g2[50] > 0.0
     import json
-    on_disk = {int(k): v for k, v in
-               json.load(open(cache)).items()}
+    data = json.load(open(cache))
+    assert data["_meta"]["key"]["kind"] == "g_exact"   # provenance
+    on_disk = {int(k): v for k, v in data.items() if k != "_meta"}
     assert on_disk == g2
 
 
@@ -202,3 +203,38 @@ def test_warm_exact_fallback_compiles_the_band_program():
         warm_exact_fallback)
     warm_exact_fallback(40, norm="l2", iters=50, dtype=np.float64)
     warm_exact_fallback(520, norm="l2", iters=50, dtype=np.float64)
+
+
+def test_g_cache_provenance_guard(tmp_path):
+    """Round-2 ADVICE: a g(T) artifact records its value-determining
+    config; resuming under a different config recomputes instead of
+    silently mixing maxima from incompatible sweeps."""
+    import json
+
+    from online_convex_optimization_tpu.experiments.gt import estimate_g
+
+    path = str(tmp_path / "g.json")
+    g1 = estimate_g([10], runs=3, base_seed=0, cache_path=path,
+                    progress=False)
+    with open(path) as f:
+        data = json.load(f)
+    assert data["_meta"]["key"]["runs"] == 3
+    assert data["10"] == g1[10]
+    # Same config: resumes (value unchanged, no recompute of T=10).
+    g2 = estimate_g([10], runs=3, base_seed=0, cache_path=path,
+                    progress=False)
+    assert g2 == g1
+    # Different seed: provenance mismatch -> fresh table, new value
+    # recorded under the new key.
+    g3 = estimate_g([10], runs=3, base_seed=123, cache_path=path,
+                    progress=False)
+    with open(path) as f:
+        data3 = json.load(f)
+    assert data3["_meta"]["key"]["base_seed"] == 123
+    assert g3[10] != g1[10]
+    # Legacy artifact without _meta: accepted with a warning.
+    with open(path, "w") as f:
+        json.dump({"10": 7.5}, f)
+    g4 = estimate_g([10], runs=3, base_seed=0, cache_path=path,
+                    progress=False)
+    assert g4[10] == 7.5
