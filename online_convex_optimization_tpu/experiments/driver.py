@@ -111,6 +111,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
         contextlib.nullcontext())
     titles = cfg.cases or tuple(CASES)
     stats_by_case = {}
+    audit_by_case = {}
     eff_runs, eff_reps = {}, {}
     with prof:
         for title in titles:
@@ -119,12 +120,14 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
             reps = cfg.replicates_override or REPLICATES_BY_TITLE.get(title, 1)
             eff_runs[title], eff_reps[title] = runs, reps
             if cfg.exact:
+                audit_by_case[title] = {}
                 stats_by_case[title] = evaluate_stream_exact(
                     builder, cfg.T_grid, runs=runs, replicates=reps,
                     base_seed=cfg.base_seed, eta0=cfg.eta0, norm=cfg.norm,
                     iters=cfg.exact_iters, dtype=dtype, stream_name=title,
                     admm_precision=cfg.exact_admm_precision,
-                    solver=cfg.exact_solver)
+                    solver=cfg.exact_solver,
+                    audit_out=audit_by_case[title])
             else:
                 stats_by_case[title] = evaluate_stream_with_stats(
                     builder, cfg.T_grid, g_emp, runs=runs, replicates=reps,
@@ -151,6 +154,11 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
             for title, stats in stats_by_case.items()
         },
     }
+    if cfg.exact:
+        # Solver-path audit (VERDICT round-2 task 8): how every cell was
+        # produced — certified closed form vs general solver — plus
+        # replicate escalation/recovery/drop counts.
+        results["audit"] = audit_by_case
     with open(os.path.join(cfg.out_dir, f"results{suffix}.json"), "w") as f:
         json.dump(results, f, indent=1)
     log.info("experiment done in %.1fs -> %s", results["wall_s"],

@@ -238,3 +238,37 @@ def test_g_cache_provenance_guard(tmp_path):
     g4 = estimate_g([10], runs=3, base_seed=0, cache_path=path,
                     progress=False)
     assert g4[10] == 7.5
+
+
+def test_exact_audit_counts(tmp_path):
+    """results_exact.json auditability (VERDICT round-2 task 8): the
+    exact evaluator reports how each cell was solved.  A contract stream
+    certifies everywhere; an out-of-contract stream routes to the
+    general solver (ssn under 'auto'); counts must be complete."""
+    from online_convex_optimization_tpu.data.sequences import CASES
+    from online_convex_optimization_tpu.experiments.evaluate import (
+        evaluate_stream_exact)
+
+    builder = dict(CASES)["Random i.i.d. (separable)"]
+    audit = {}
+    evaluate_stream_exact(builder, T_grid=[20, 30], runs=2, replicates=1,
+                          iters=800, dtype=np.float64, progress=False,
+                          audit_out=audit, stream_name="audit-cert")
+    assert audit["cells"] == 4 and audit["cells_certified"] == 4
+    assert audit["replicates_dropped"] == 0
+
+    def ooc(run_seed=0):
+        def sampler(T, rep=0):
+            rng = np.random.default_rng(run_seed + rep)
+            z = 2.0 * rng.normal(size=(T, 5))
+            y = np.sign(rng.normal(size=T))
+            y[y == 0] = 1.0
+            return z, y
+        return sampler
+
+    audit2 = {}
+    evaluate_stream_exact(ooc, T_grid=[20], runs=1, replicates=1,
+                          iters=800, dtype=np.float64, progress=False,
+                          audit_out=audit2, stream_name="audit-ooc")
+    assert audit2["cells"] == 1 and audit2["cells_ssn"] == 1
+    assert audit2["cells_certified"] == 0
