@@ -121,6 +121,90 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
     return out
 
 
+def run_stream_handoff(T: int, B: int, *, chunks: int = 8, split: int = 4,
+                       eta0: float, seed: int = 0,
+                       coordinator: Optional[str] = None,
+                       num_processes: Optional[int] = None,
+                       process_id: Optional[int] = None) -> dict:
+    """Sequence-parallel hand-off: process 0 advances the streaming carry
+    through chunks [0, split), SHIPS it over the wire (gloo DCN; a TPU
+    pod would ride ICI/DCN the same way), and process 1 finishes chunks
+    [split, chunks) — the time axis of ONE logical stream split across
+    hosts.  The shipped carry is O(B*d) bytes regardless of T, the whole
+    point of the chunked-carry streaming design (models/streaming.py).
+
+    Every process also runs the full stream locally as the single-process
+    reference; the hand-off result must match it BITWISE (the carry is
+    f32-exact through the broadcast and _advance is deterministic)."""
+    import jax
+
+    multi = num_processes is not None and num_processes > 1
+    if multi:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    from jax.experimental import multihost_utils
+
+    from online_convex_optimization_tpu.models.streaming import StreamingGame
+
+    d = 5
+    pid = process_id or 0
+    if T % chunks:
+        raise ValueError("T must divide into chunks")
+    CT = T // chunks
+    # Deterministic stream both processes can regenerate (contract data).
+    rng = np.random.default_rng(seed)
+    zs = rng.standard_normal((chunks, CT, B, d)).astype(np.float32)
+    zs /= np.maximum(np.linalg.norm(zs, axis=-1, keepdims=True), 1.0)
+    ys = np.sign(rng.standard_normal((chunks, CT, B))).astype(np.float32)
+    ys[ys == 0] = 1.0
+
+    def replay():
+        return ((zs[c], ys[c]) for c in range(chunks))
+
+    # Single-process reference (each host computes it independently).
+    ref = StreamingGame(B, d, alg_flag=0, eta0=eta0)
+    for c in range(chunks):
+        ref.feed(zs[c], ys[c])
+    ref_res = ref.result(replay())
+
+    # Hand-off run.
+    game = StreamingGame(B, d, alg_flag=0, eta0=eta0)
+    if pid == 0:
+        for c in range(split):
+            game.feed(zs[c], ys[c])
+    if multi:
+        carry = multihost_utils.broadcast_one_to_all(
+            game.carry_state(), is_source=(pid == 0))
+        game.resume(jax.tree.map(np.asarray, carry))
+    finisher = 1 if multi else 0
+    if pid == finisher:
+        for c in range(split, chunks):
+            game.feed(zs[c], ys[c])
+    if multi:
+        final = multihost_utils.broadcast_one_to_all(
+            game.carry_state(), is_source=(pid == finisher))
+        game.resume(jax.tree.map(np.asarray, final))
+    res = game.result(replay())
+
+    cum = np.asarray(res.cum_loss)
+    reg = np.asarray(res.regret)
+    return {
+        "process_id": pid,
+        "mode": "stream-handoff",
+        "chunks": chunks,
+        "split": split,
+        "cum_loss": [float(v) for v in cum],
+        "regret": [float(v) for v in reg],
+        "bitwise_cum": bool((cum == np.asarray(ref_res.cum_loss)).all()),
+        "bitwise_regret": bool((reg == np.asarray(ref_res.regret)).all()),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="multi-host OCO sweep worker")
     p.add_argument("--t", type=int, default=256)
@@ -134,12 +218,24 @@ def main(argv=None):
                    help="size of the hyperparameter mesh axis")
     p.add_argument("--bench-reps", type=int, default=0,
                    help="time the sweep this many times (0 = off)")
+    p.add_argument("--mode", choices=["sweep", "stream-handoff"],
+                   default="sweep")
+    p.add_argument("--chunks", type=int, default=8)
+    p.add_argument("--split", type=int, default=4)
     args = p.parse_args(argv)
-    out = run_worker(args.t, args.per_device_batch, eta0=args.eta0,
-                     seed=args.seed, coordinator=args.coordinator,
-                     num_processes=args.num_processes,
-                     process_id=args.process_id, n_hyper=args.hyper,
-                     bench_reps=args.bench_reps)
+    if args.mode == "stream-handoff":
+        out = run_stream_handoff(args.t, args.per_device_batch,
+                                 chunks=args.chunks, split=args.split,
+                                 eta0=args.eta0, seed=args.seed,
+                                 coordinator=args.coordinator,
+                                 num_processes=args.num_processes,
+                                 process_id=args.process_id)
+    else:
+        out = run_worker(args.t, args.per_device_batch, eta0=args.eta0,
+                         seed=args.seed, coordinator=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id, n_hyper=args.hyper,
+                         bench_reps=args.bench_reps)
     print(json.dumps(out))
 
 

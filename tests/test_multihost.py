@@ -103,3 +103,43 @@ def test_two_process_two_axis_sweep():
                                rtol=1e-5)
     np.testing.assert_allclose(solo["mean_by_eta"], a["mean_by_eta"],
                                rtol=1e-5)
+
+
+def _spawn_handoff(proc_id, port, n_proc):
+    env = {
+        **os.environ,
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    return subprocess.Popen(
+        [sys.executable, "-m",
+         "online_convex_optimization_tpu.parallel.multihost",
+         "--mode", "stream-handoff", "--t", "64", "--per-device-batch", "8",
+         "--chunks", "8", "--split", "3",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", str(n_proc), "--process-id", str(proc_id)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+
+
+@pytest.mark.slow
+def test_cross_process_streaming_handoff_bitwise():
+    """Sequence parallelism over DCN (SURVEY §5): process 0 advances the
+    streaming carry through chunks 0..2, ships it to process 1 over the
+    gloo wire, process 1 finishes — and the result matches each host's
+    own single-process run of the full stream BITWISE."""
+    port = _free_port()
+    procs = [_spawn_handoff(i, port, 2) for i in range(2)]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=300)
+        assert p.returncode == 0, stderr[-2000:]
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    a, b = outs
+    for o in (a, b):
+        assert o["mode"] == "stream-handoff"
+        assert o["bitwise_cum"], "hand-off cum_loss != single-process run"
+        assert o["bitwise_regret"]
+    assert a["cum_loss"] == b["cum_loss"]      # both hosts agree exactly
+    assert a["regret"] == b["regret"]
