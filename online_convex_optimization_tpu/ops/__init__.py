@@ -13,12 +13,14 @@ from online_convex_optimization_tpu.ops.actions import (
 )
 from online_convex_optimization_tpu.ops.pallas_game import (
     eta_sweep_packed,
+    kernel_envelope,
     pack_per_seq,
     pack_sequences,
     pack_time_major,
     play_packed_stream,
     play_packed_stream_many,
     regrets_fused,
+    simulate_linear_auto,
     simulate_linear_pallas_v2,
     stream_result,
     synthetic_regrets,
@@ -45,8 +47,10 @@ __all__ = [
     "project_linf_ball",
     "eta_sweep_packed",
     "pack_per_seq",
+    "kernel_envelope",
     "pack_sequences",
     "regrets_fused",
+    "simulate_linear_auto",
     "simulate_linear_pallas_v2",
     "synthetic_regrets",
     "unpack_result",

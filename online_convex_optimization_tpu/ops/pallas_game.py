@@ -1107,6 +1107,51 @@ def pack_per_seq(vals: jnp.ndarray, S: int) -> jnp.ndarray:
     return v.reshape(nb, S, LANES).transpose(1, 0, 2).reshape(S, nb * LANES)
 
 
+# Kernel d-envelope (VERDICT round-2 task 4).  The kernel family is
+# structurally d-general — theta/w live as d VMEM register slices and
+# _choose_tiles already prices d into the block budget — but the per-step
+# work is ~3d full-width ops against the scan's MXU matmuls, so past a
+# crossover the XLA scan wins.  _D_KERNEL_MAX is the measured-on-chip
+# crossover (see docs/BENCHMARKS.md "Kernel d-envelope"); beyond it the
+# auto dispatcher routes to the scan instead of raising.
+_D_KERNEL_MAX = 32
+
+
+def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32):
+    """None if the packed game kernel is the right engine for this shape;
+    otherwise a human-readable reason for taking the XLA scan."""
+    if d > _D_KERNEL_MAX:
+        return (f"d={d} past the measured kernel/scan crossover "
+                f"({_D_KERNEL_MAX})")
+    S = sublanes_for(dtype)
+    itemsize = jnp.dtype(dtype).itemsize
+    Bp = -(-B // (S * LANES)) * LANES        # packed lane dim
+    try:
+        _choose_tiles(Bp, T, d, 4 * LANES, 256, 4, sublanes=S,
+                      itemsize=itemsize)
+    except ValueError as e:                   # VMEM budget exceeded
+        return str(e)
+    return None
+
+
+def simulate_linear_auto(z, y, alg_flag: int, eta0, *,
+                         interpret: bool = False):
+    """Regret evaluation with automatic kernel/scan dispatch: the packed
+    Pallas kernel inside its measured envelope (d <= crossover, VMEM
+    budget), the XLA scan past it — same values either way (the scan IS
+    the parity reference the kernel is tested against).  Returns (B,)
+    regrets."""
+    z = jnp.asarray(z)
+    y = jnp.asarray(y)
+    B, T, d = z.shape
+    if kernel_envelope(B, T, d) is None:
+        return simulate_linear_pallas_v2(z, y, alg_flag, eta0,
+                                         interpret=interpret)
+    from online_convex_optimization_tpu.models.linear import (
+        simulate_linear_batch)
+    return simulate_linear_batch(z, y, alg_flag, eta0).regret
+
+
 def simulate_linear_pallas_v2(z, y, alg_flag: int, eta0, *,
                               dtype=jnp.float32, interpret: bool = False):
     """Drop-in batched regret evaluation via the v2 kernel ((B,T,d) API).

@@ -289,3 +289,41 @@ def test_sharded_synthetic_g_on_chip():
         b << 20, eta, T=64, lane_batch=128)))) for b in range(2))
         for eta in etas]
     np.testing.assert_allclose(g.astype(np.float64), want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("d", [5, 16, 32])
+def test_v2_interpret_matches_scan_general_d(d):
+    """The kernel family is d-general (VERDICT round-2 task 4): values
+    match the scan at d in {5, 16, 32}, not just the framework's d=5."""
+    rng = np.random.default_rng(3 + d)
+    B, T = SEQ_TILE, 32
+    z = rng.normal(size=(B, T, d)).astype(np.float32)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0).astype(np.float32)
+    got = np.asarray(simulate_linear_pallas_v2(z, y, 0, 1.2,
+                                               interpret=True))
+    want = np.asarray(simulate_linear_batch(jnp.asarray(z), jnp.asarray(y),
+                                            0, 1.2).regret, np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_auto_dispatch_envelope():
+    """simulate_linear_auto routes inside/outside the kernel envelope and
+    agrees with the scan either way."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        _D_KERNEL_MAX, kernel_envelope, simulate_linear_auto)
+
+    assert kernel_envelope(SEQ_TILE, 32, 5) is None
+    reason = kernel_envelope(SEQ_TILE, 32, _D_KERNEL_MAX + 1)
+    assert reason is not None and "crossover" in reason
+
+    rng = np.random.default_rng(11)
+    for d in (5, _D_KERNEL_MAX + 8):
+        z = rng.normal(size=(SEQ_TILE, 16, d)).astype(np.float32)
+        z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+        y = np.where(rng.random((SEQ_TILE, 16)) < 0.5, -1.0, 1.0
+                     ).astype(np.float32)
+        got = np.asarray(simulate_linear_auto(z, y, 0, 1.0, interpret=True))
+        want = np.asarray(simulate_linear_batch(
+            jnp.asarray(z), jnp.asarray(y), 0, 1.0).regret, np.float32)
+        np.testing.assert_allclose(got, want, atol=2e-4)

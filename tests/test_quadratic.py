@@ -250,3 +250,23 @@ def test_fused_quadratic_game_on_chip():
     interp = np.asarray(unpack_result(
         quadratic_regrets_packed(zp, yp, interpret=True), B))
     np.testing.assert_allclose(reg, interp, atol=5e-3)
+
+
+def test_quadratic_study_end_to_end(tmp_path):
+    """The quadratic-track experiment surface (VERDICT round-2 task 6):
+    study runs end-to-end, writes the JSON artifact + figure, and the
+    exact-FTL curve sits below FTRL (fast/log-T regime on the
+    well-conditioned regression stream)."""
+    from online_convex_optimization_tpu.experiments.quadratic_study import (
+        QuadraticConfig, run_study)
+
+    cfg = QuadraticConfig(t_min=100, t_max=300, t_step=100, runs=2,
+                          replicates=2, out_dir=str(tmp_path), dpi=60)
+    results = run_study(cfg)
+    import os
+    assert os.path.exists(tmp_path / "results_quadratic.json")
+    assert os.path.exists(tmp_path / "quadratic_regret.png")
+    ftl = results["stats"]["FTL (exact LS)"]["mean"]
+    ftrl = results["stats"]["FTRL"]["mean"]
+    assert all(np.isfinite(ftl)) and all(np.isfinite(ftrl))
+    assert ftl[-1] < ftrl[-1]
