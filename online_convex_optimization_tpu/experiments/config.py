@@ -39,6 +39,11 @@ class ExperimentConfig:
     # Exact device solver: "auto"/"xla" = banded XLA ADMM; "kernel" = the
     # VMEM-resident Pallas ADMM (l2/f32 only; measured at parity on chip).
     exact_solver: str = "auto"
+    exact_selection: str = "committed"  # degenerate-optima selection:
+    #   "committed" = historical solver selection (artifacts bitwise-
+    #   pinned); "canonical" = min-l2-norm contract (models/canonical.py,
+    #   docs/DESIGN.md) with host-side LP-verified closed forms and
+    #   T_max-prefix dedup on the deterministic families
     norm: str = "l2"              # exact oracle ball (exact_ftl.py:72)
     out_dir: str = "results"
     dpi: int = 600                # matches the reference (driver.py:158)
@@ -103,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "VMEM-resident Pallas ADMM (l2/f32); ssn = force "
                         "the semismooth-Newton band solver (l2; g(T) "
                         "estimation still uses the ADMM comparator solves)")
+    p.add_argument("--exact-selection", choices=["committed", "canonical"],
+                   default=d.exact_selection,
+                   help="degenerate-optima selection contract: committed = "
+                        "historical (bitwise-pinned artifacts); canonical = "
+                        "min-l2-norm point of the optimal face, "
+                        "solver-independent, host-side closed forms + "
+                        "T_max dedup on deterministic families")
     p.add_argument("--norm", choices=["l2", "linf", "l1"], default=d.norm)
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--dpi", type=int, default=d.dpi)
@@ -125,7 +137,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> ExperimentConfig:
         precision=args.precision, exact=args.exact,
         exact_iters=args.exact_iters,
         exact_admm_precision=args.exact_admm_precision,
-        exact_solver=args.exact_solver, norm=args.norm,
+        exact_solver=args.exact_solver,
+        exact_selection=args.exact_selection, norm=args.norm,
         out_dir=args.out_dir, dpi=args.dpi,
         checkpoint=not args.no_checkpoint, batch_chunk=args.batch_chunk,
         check=args.check, profile_dir=args.profile_dir)

@@ -127,6 +127,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
                     iters=cfg.exact_iters, dtype=dtype, stream_name=title,
                     admm_precision=cfg.exact_admm_precision,
                     solver=cfg.exact_solver,
+                    selection=cfg.exact_selection,
                     audit_out=audit_by_case[title])
             else:
                 stats_by_case[title] = evaluate_stream_with_stats(
