@@ -39,11 +39,15 @@ class ExperimentConfig:
     # Exact device solver: "auto"/"xla" = banded XLA ADMM; "kernel" = the
     # VMEM-resident Pallas ADMM (l2/f32 only; measured at parity on chip).
     exact_solver: str = "auto"
-    exact_selection: str = "committed"  # degenerate-optima selection:
-    #   "committed" = historical solver selection (artifacts bitwise-
-    #   pinned); "canonical" = min-l2-norm contract (models/canonical.py,
-    #   docs/DESIGN.md) with host-side LP-verified closed forms and
-    #   T_max-prefix dedup on the deterministic families
+    exact_selection: str = "canonical"  # degenerate-optima selection:
+    #   "canonical" (default) = min-l2-norm contract (models/canonical.py,
+    #   docs/DESIGN.md): host-side LP-verified closed forms + T_max-prefix
+    #   dedup on the deterministic families (31.9 s full-scale vs 77.8 s,
+    #   no device solves, and host-f64 scoring that matches the golden
+    #   oracle exactly — the committed TPU run carried an f32
+    #   tie-subgradient deviation on Switching leaders FTRL);
+    #   "committed" = historical solver selection, reproduces the
+    #   round-3 artifact bitwise
     norm: str = "l2"              # exact oracle ball (exact_ftl.py:72)
     out_dir: str = "results"
     dpi: int = 600                # matches the reference (driver.py:158)
