@@ -37,12 +37,91 @@ def _fetch_time(fn, runs=3):
     return best
 
 
+def d_envelope(args):
+    """Measure the kernel family's d-envelope (VERDICT round-2 task 4):
+    fused Pallas kernel vs XLA scan throughput at d in {5, 16, 32, 64},
+    T=1024.  The kernel's per-step work is ~3d full-width VPU ops per
+    lane; the scan amortizes d into MXU matvecs — past a crossover the
+    scan wins and `ops.pallas_game.kernel_envelope` must route there.
+    Appends one record per (path, d) to BENCH_DETAILS.jsonl."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.data.device import random_packed_batch
+    from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        regrets_fused, sublanes_for)
+    from online_convex_optimization_tpu.utils.logging_utils import log_metrics
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if not on_tpu:
+        print("d-envelope is a TPU measurement; backend =", backend)
+        return
+
+    T, K = 1024, 8
+    records = []
+    for d in (5, 16, 32, 64):
+        # Constant total z footprint: shrink the lane batch as d grows.
+        LB = max(128, (16384 * 5 // d) // 128 * 128)
+        S = sublanes_for(jnp.bfloat16)
+        zd, yd = random_packed_batch(jax.random.key(d), T, LB, d=d,
+                                     dtype=jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_fused(z, y, *, k):
+            def body(i, acc):
+                eta = np.float32(np.sqrt(2.0)) * (
+                    1.0 + 1e-6 * i.astype(jnp.float32))
+                return acc + regrets_fused(z, y, eta, alg_flag=0)
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((S, LB), jnp.float32))
+
+        try:
+            secs = _fetch_time(lambda: run_fused(zd, yd, k=K)) / K
+            records.append({
+                "metric": f"d_envelope_kernel_d{d}_steps_per_s",
+                "value": S * LB * T / secs, "unit": "steps/s",
+                "note": f"fused kernel, d={d}, {S * LB} seqs, T={T}"})
+        except ValueError as e:  # VMEM budget: record the refusal
+            records.append({
+                "metric": f"d_envelope_kernel_d{d}_steps_per_s",
+                "value": 0.0, "unit": "steps/s",
+                "note": f"kernel refused shape: {e}"})
+        del zd, yd
+
+        B = 2048
+        kz, ky = jax.random.split(jax.random.key(100 + d))
+        z = jax.random.normal(kz, (B, T, d), jnp.float32)
+        z = z / jnp.maximum(
+            jnp.linalg.norm(z, axis=-1, keepdims=True), 1.0)
+        y = jax.random.rademacher(ky, (B, T), jnp.float32)
+        secs = _fetch_time(
+            lambda: simulate_linear_batch(z, y, 0, 1.414, unroll=8).regret)
+        records.append({
+            "metric": f"d_envelope_scan_d{d}_steps_per_s",
+            "value": B * T / secs, "unit": "steps/s",
+            "note": f"XLA scan, d={d}, {B} seqs, T={T}"})
+        del z, y
+
+    for r in records:
+        r["backend"] = backend
+        print(r)
+        log_metrics(args.out, r)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true",
                         help="CPU-sized shapes for smoke runs")
     parser.add_argument("--out", default="BENCH_DETAILS.jsonl")
+    parser.add_argument("--d-envelope", action="store_true",
+                        help="measure kernel-vs-scan d crossover only")
     args = parser.parse_args()
+
+    if args.d_envelope:
+        d_envelope(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -291,10 +291,11 @@ def test_sharded_synthetic_g_on_chip():
     np.testing.assert_allclose(g.astype(np.float64), want, rtol=1e-6)
 
 
-@pytest.mark.parametrize("d", [5, 16, 32])
+@pytest.mark.parametrize("d", [5, 16, 32, 64])
 def test_v2_interpret_matches_scan_general_d(d):
     """The kernel family is d-general (VERDICT round-2 task 4): values
-    match the scan at d in {5, 16, 32}, not just the framework's d=5."""
+    match the scan across the measured envelope d in {5, 16, 32, 64},
+    not just the framework's d=5."""
     rng = np.random.default_rng(3 + d)
     B, T = SEQ_TILE, 32
     z = rng.normal(size=(B, T, d)).astype(np.float32)
@@ -315,7 +316,7 @@ def test_auto_dispatch_envelope():
 
     assert kernel_envelope(SEQ_TILE, 32, 5) is None
     reason = kernel_envelope(SEQ_TILE, 32, _D_KERNEL_MAX + 1)
-    assert reason is not None and "crossover" in reason
+    assert reason is not None and "envelope" in reason
 
     rng = np.random.default_rng(11)
     for d in (5, _D_KERNEL_MAX + 8):
