@@ -53,8 +53,21 @@ class ExperimentConfig:
     dpi: int = 600                # matches the reference (driver.py:158)
     checkpoint: bool = True
     batch_chunk: int = 4096       # max sequences per device batch
-    check: bool = False           # checkify NaN/inf guards in compute paths
+    # checkify NaN/inf guards in the compute paths.  None = on off-TPU,
+    # off on TPU: measured on the g(T) sweep hot call (scripts/
+    # checkify_pricing.py, BENCH_DETAILS checkify_g_sweep_overhead_*)
+    # the guard costs 1.20x on CPU and is within relay noise (0.80x) on
+    # TPU, so the off-TPU default is safety at negligible price; on TPU
+    # it stays opt-in only so the production artifact path runs the
+    # exact program it always ran.
+    check: Optional[bool] = None
     profile_dir: str = ""         # write a jax.profiler trace of the eval
+
+    def resolved_check(self) -> bool:
+        if self.check is not None:
+            return self.check
+        import jax
+        return jax.default_backend() != "tpu"
 
     @property
     def T_grid(self) -> Tuple[int, ...]:
@@ -124,8 +137,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dpi", type=int, default=d.dpi)
     p.add_argument("--no-checkpoint", action="store_true")
     p.add_argument("--batch-chunk", type=int, default=d.batch_chunk)
-    p.add_argument("--check", action="store_true",
-                   help="checkify NaN/inf guards inside the compute paths")
+    p.add_argument("--check", action="store_true", default=None,
+                   dest="check",
+                   help="checkify NaN/inf guards inside the compute paths "
+                        "(default: on off-TPU, off on TPU; see "
+                        "docs/BENCHMARKS.md checkify pricing)")
+    p.add_argument("--no-check", action="store_false", dest="check",
+                   help="disable the checkify guards explicitly")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the evaluation")
     return p

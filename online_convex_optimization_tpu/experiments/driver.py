@@ -95,7 +95,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
         g_emp = estimate_g(cfg.T_grid, runs=cfg.g_runs,
                            base_seed=cfg.base_seed, eta0=cfg.eta0,
                            dtype=dtype, chunk=cfg.batch_chunk,
-                           cache_path=cache, check=cfg.check)
+                           cache_path=cache, check=cfg.resolved_check())
         g_title = "Empirical worst-case g(T) for SMART (ALG_WC = FTRL)"
 
     plot_empirical_g(cfg.T_grid, g_emp,

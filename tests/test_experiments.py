@@ -124,6 +124,19 @@ def test_config_cli_round_trip():
     assert cfg.g_cache_key() != ExperimentConfig().g_cache_key()
 
 
+def test_check_default_resolves_by_backend():
+    """--check defaults on off-TPU / off on TPU (measured pricing in
+    docs/BENCHMARKS.md); explicit flags override both ways."""
+    import jax
+
+    cfg = config_from_args([])
+    assert cfg.check is None
+    on_tpu = jax.default_backend() == "tpu"
+    assert cfg.resolved_check() == (not on_tpu)
+    assert config_from_args(["--check"]).resolved_check() is True
+    assert config_from_args(["--no-check"]).resolved_check() is False
+
+
 def test_deterministic_families_route_to_golden_f64():
     """On an f32 backend the 1x1 deterministic (tie-degenerate) families
     must be evaluated by the f64 golden oracle, matching it exactly."""
