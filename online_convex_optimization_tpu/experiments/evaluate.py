@@ -343,11 +343,14 @@ def evaluate_stream_exact(
     per prefix by the optimality certificate (max_i |<z_i, x*_t>| <= 1),
     so the device solve and the polish vanish entirely; uncertified
     cells split by WHY they failed: out-of-contract data (rows outside
-    the unit ball, l2) goes to the semismooth-Newton band solver
-    (models/ssn.py — f64 off-TPU, f32 + compensated certificate on
-    TPU), while in-contract selection-degenerate cells (the
-    deterministic w=0 families) stay on the banded lax.map XLA ADMM,
-    whose committed artifact statistics are bitwise-pinned.  "linear"
+    the unit ball, l2) goes to the semismooth-Newton band solver where
+    x64 is available (models/ssn.py, 8.4x the ADMM on CPU f64); on
+    f32/TPU it stays on the banded ADMM — the compensated f32 SSN
+    certificate is sound but costs 31x the warm ADMM on chip (see
+    docs/BENCHMARKS.md) — and in-contract selection-degenerate cells
+    (the deterministic w=0 families) stay on the banded lax.map XLA
+    ADMM either way, whose committed artifact statistics are
+    bitwise-pinned.  "linear"
     requires the certificate (raises if any cell is uncertified).
     "xla" forces the banded XLA formulation; "ssn" forces the
     semismooth-Newton solver for every general cell; "kernel" (l2/f32
@@ -454,12 +457,20 @@ def evaluate_stream_exact(
 
     # 'auto' escalation of OUT-OF-CONTRACT cells (rows outside the unit
     # ball — general user data, the reference's own smoke-test regime)
-    # to the semismooth-Newton solver: ~20-60 Newton steps where the
-    # ADMM takes 1.8-2.2k iterations.  In-contract uncertified cells
-    # (the deterministic w=0 families) DELIBERATELY stay on the ADMM:
-    # their minimizer sets are selection-degenerate and the committed
-    # artifact statistics are bitwise-pinned to that solver path.
-    auto_ssn = solver == "auto" and norm == "l2" and not use_kernel
+    # to the semismooth-Newton solver — but ONLY where f64 is available:
+    # there the SSN takes ~20-60 Newton steps where the ADMM takes
+    # 1.8-2.2k iterations (8.4x measured, CPU f64 T=512).  On f32/TPU
+    # the balance inverts: the compensated multi-candidate certificate
+    # that makes f32 SSN *certifiable* (98.5% at 2e-4, T=1024) costs
+    # 31x the warm banded ADMM's wall on chip (34.8 vs 1.1 s, B=8 —
+    # scripts/ssn_onchip_probe.py, BENCH_DETAILS ssn_f32_*), so 'auto'
+    # keeps OOC cells on the ADMM there and SSN stays an explicit
+    # --exact-solver ssn choice.  In-contract uncertified cells (the
+    # deterministic w=0 families) DELIBERATELY stay on the ADMM either
+    # way: their minimizer sets are selection-degenerate and the
+    # committed artifact statistics are bitwise-pinned to that path.
+    auto_ssn = (solver == "auto" and norm == "l2" and not use_kernel
+                and ssn_f64)
 
     def _general_programs(z_cell, T):
         if auto_ssn and bool(np.any(

@@ -265,3 +265,48 @@ def test_evaluate_stream_exact_auto_routes_ooc_to_ssn():
     for key in s_s:
         np.testing.assert_allclose(s_a[key][0], s_s[key][0], rtol=0,
                                    atol=0)
+
+
+def test_auto_keeps_admm_for_ooc_without_x64():
+    """Without x64 (the TPU backend's regime) 'auto' must NOT route
+    out-of-contract cells to the SSN: the f32 compensated certificate is
+    what makes f32 SSN sound, but it costs 31x the warm banded ADMM on
+    chip (scripts/ssn_onchip_probe.py, BENCH_DETAILS ssn_f32_*), so the
+    ADMM stays the f32 production path and SSN remains an explicit
+    --exact-solver choice."""
+    import jax
+
+    import online_convex_optimization_tpu.models.ssn as ssn_mod
+    from online_convex_optimization_tpu.experiments import evaluate as ev
+
+    def builder(run_seed=0):
+        def sampler(T, rep=0):
+            rng = np.random.default_rng(run_seed + 7 * rep)
+            z = 2.0 * rng.normal(size=(T, 5))
+            y = np.sign(z @ rng.normal(size=5) + 0.3 * rng.normal(size=T))
+            y[y == 0] = 1.0
+            return z, y
+        return sampler
+
+    calls = {"n": 0}
+    orig = ssn_mod.ssn_all_prefixes
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    ev._band_programs.cache_clear()
+    ssn_mod.ssn_all_prefixes = counting
+    jax.config.update("jax_enable_x64", False)
+    try:
+        audit = {}
+        ev.evaluate_stream_exact(
+            builder, T_grid=[24], runs=1, replicates=1, iters=1200,
+            dtype=np.float32, stream_name="ooc-auto-f32", progress=False,
+            solver="auto", audit_out=audit)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+        ssn_mod.ssn_all_prefixes = orig
+        ev._band_programs.cache_clear()
+    assert calls["n"] == 0, "auto routed OOC cells to SSN without x64"
+    assert audit["cells_ssn"] == 0 and audit["cells_admm"] > 0, audit
