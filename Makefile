@@ -4,8 +4,8 @@
 
 PY := python
 
-.PHONY: test test-tpu bench bench-suite experiment experiment-exact \
-        pod-demo dryrun native clean
+.PHONY: test test-tpu bench bench-suite bench-d-envelope probes \
+        experiment experiment-exact pod-demo dryrun native clean
 
 test:            ## full CPU suite (parity, kernels in interpret mode, sharding)
 	$(PY) -m pytest tests/ -q
@@ -18,6 +18,14 @@ bench:           ## headline metric (one JSON line)
 
 bench-suite:     ## every compute path -> BENCH_DETAILS.jsonl
 	$(PY) bench_suite.py
+
+bench-d-envelope:## kernel-vs-scan throughput at d in {5,16,32,64}
+	$(PY) bench_suite.py --d-envelope
+
+probes:          ## measurement probes behind docs/BENCHMARKS.md claims
+	$(PY) scripts/checkify_pricing.py
+	$(PY) scripts/ssn_onchip_probe.py
+	sh scripts/compile_cache_experiment.sh
 
 experiment:      ## reference-scale pipeline (figures + results.json)
 	$(PY) -m online_convex_optimization_tpu.experiments.driver \
