@@ -61,7 +61,7 @@ def d_envelope(args):
 
     T, K = 1024, 8
     records = []
-    for d in (5, 16, 32, 64):
+    for d in (5, 16, 32, 64, 128):
         # Constant total z footprint: shrink the lane batch as d grows.
         LB = max(128, (16384 * 5 // d) // 128 * 128)
         S = sublanes_for(jnp.bfloat16)

@@ -1111,15 +1111,16 @@ def pack_per_seq(vals: jnp.ndarray, S: int) -> jnp.ndarray:
 # structurally d-general — theta/w live as d VMEM register slices and
 # _choose_tiles already prices d into the block budget — and the per-step
 # work is ~3d full-width VPU ops per lane, so throughput falls ~1/d
-# (measured on chip: 2.2e10 / 8.7e9 / 4.8e9 / 2.5e9 steps/s at
-# d = 5/16/32/64, T=1024 bf16).  The XLA scan does NOT catch up inside
-# the measured range: at d=64 it reaches 1.3e8 steps/s at B=16384 —
-# the kernel is still ~19x faster (docs/BENCHMARKS.md "Kernel
-# d-envelope", BENCH_DETAILS d_envelope_* records).  _D_KERNEL_MAX is
-# therefore the measured boundary, not a crossover: beyond it the auto
-# dispatcher routes to the scan because the kernel is unmeasured there,
-# not because the scan won.
-_D_KERNEL_MAX = 64
+# (measured on chip: 2.2e10 / 8.7e9 / 4.8e9 / 2.5e9 / 1.3e9 steps/s at
+# d = 5/16/32/64/128, T=1024 bf16).  The XLA scan does NOT catch up
+# inside the measured range: 1.3-1.4e8 steps/s at d=32/64 (B=16384) and
+# 1.0e8 at d=128 (B=8192) — the kernel still leads 13-19x at the
+# boundary (docs/BENCHMARKS.md "Kernel d-envelope", BENCH_DETAILS
+# d_envelope_* records).  _D_KERNEL_MAX is therefore the measured
+# boundary, not a crossover: beyond it the auto dispatcher routes to
+# the scan because the kernel is unmeasured there, not because the
+# scan won.
+_D_KERNEL_MAX = 128
 
 
 def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32):
@@ -1128,7 +1129,7 @@ def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32):
     if d > _D_KERNEL_MAX:
         return (f"d={d} past the measured kernel envelope "
                 f"(d<={_D_KERNEL_MAX}; the kernel still led the scan "
-                f"19x at the boundary, but is unmeasured beyond it)")
+                f"13x at the boundary, but is unmeasured beyond it)")
     S = sublanes_for(dtype)
     itemsize = jnp.dtype(dtype).itemsize
     Bp = -(-B // (S * LANES)) * LANES        # packed lane dim
