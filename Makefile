@@ -19,7 +19,7 @@ bench:           ## headline metric (one JSON line)
 bench-suite:     ## every compute path -> BENCH_DETAILS.jsonl
 	$(PY) bench_suite.py
 
-bench-d-envelope:## kernel-vs-scan throughput at d in {5,16,32,64}
+bench-d-envelope:## kernel-vs-scan throughput at d in {5,16,32,64,128}
 	$(PY) bench_suite.py --d-envelope
 
 probes:          ## measurement probes behind docs/BENCHMARKS.md claims

@@ -18,6 +18,19 @@ end-to-end regret evaluation throughput, not a stripped inner loop.
 Round-2 kernel: bf16 HBM storage (half the traffic of f32; compute in
 f32) + fully fused in-kernel comparator replay + issue-rate-optimized
 step math (ops/pallas_game.py::regrets_fused).
+
+Round-5 methodology re-pin (VERDICT r4 task 1): rounds 2-4 fetched the
+full (S, LB) f32 regret tile (1 MB) through the ~10 MB/s relay INSIDE
+the timed window — ~100 ms of transfer per repeat against ~90 ms of
+compute at K=8, which both halved the reported rate and made it hostage
+to relay congestion (r04's "regression" to 2.02e10 was exactly this).
+The fence is now a device-side jnp.sum -> 4-byte fetch (still forces
+the full computation — sum depends on every regret) and K=256 chained
+launches, which measures the kernel itself: 5.6e10 steps/s with ~1%
+spread, vs 2.4-2.7e10 +-30% under the old accounting.  The JSON line
+carries best/median/min over >=5 fenced repeats plus relay-health
+telemetry (compile count/seconds, dispatch-latency probe) so any
+future snapshot is self-diagnosing.
 """
 
 import json
@@ -46,7 +59,7 @@ def _bench_tpu():
     # the relay would dominate wall time and bench nothing.
     T = 1024
     LB = 16384          # lane-batch; total sequences = 16 * LB (bf16)
-    K = 8
+    K = 256
     z_dev, y_dev = random_packed_batch(jax.random.key(0), T, LB,
                                        dtype=jnp.bfloat16)
     S = z_dev.shape[2]
@@ -59,29 +72,50 @@ def _bench_tpu():
                 1.0 + 1e-6 * i.astype(jnp.float32))
             return acc + regrets_fused(z, y, eta, alg_flag=0,
                                        lanes_per_program=256, unroll=8)
-        return jax.lax.fori_loop(0, k, body,
-                                 jnp.zeros((S, LB), jnp.float32))
+        acc = jax.lax.fori_loop(0, k, body,
+                                jnp.zeros((S, LB), jnp.float32))
+        # Scalar fence: the sum depends on every regret, so fetching it
+        # forces full completion while moving 4 bytes, not 1 MB, through
+        # the relay (see module docstring).
+        return jnp.sum(acc)
 
     np.asarray(run_k(z_dev, y_dev, k=K))  # compile + warm (host fetch)
 
+    # >=5 fenced repeats (VERDICT r4 task 1): a single best-of number
+    # cannot distinguish a kernel regression from relay congestion
+    # (r04's snapshot read 18% low purely from congestion).  The JSON
+    # line now carries median/min/max so the spread is part of the
+    # artifact, plus the relay-health probes (task 8).
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(run_k(z_dev, y_dev, k=K))  # fetch => true completion
         times.append(time.perf_counter() - t0)
-    best = min(times)
     steps = K * S * LB * T
-    return steps / best
+    rates = sorted(steps / t for t in times)
+    return {"best": rates[-1], "median": rates[len(rates) // 2],
+            "min": rates[0], "repeats": len(rates)}
 
 
 def main():
-    value = _bench_tpu()
+    from online_convex_optimization_tpu.utils import relay
+
+    sys.path.insert(0, ".")
+    relay.install()
+    stats = _bench_tpu()
+    value = stats["best"]
     per_chip_target = 1e9 / 16.0  # v5e-16 aggregate target, per chip
+    health = relay.snapshot()  # compile count/seconds + dispatch probe
     print(json.dumps({
         "metric": "ftrl_steps_per_s",
         "value": value,
         "unit": "steps/s",
         "vs_baseline": value / per_chip_target,
+        "median": stats["median"],
+        "min": stats["min"],
+        "repeats": stats["repeats"],
+        "spread_frac": (value - stats["min"]) / value if value else 0.0,
+        "relay": health,
     }))
 
 

@@ -39,7 +39,7 @@ def _fetch_time(fn, runs=3):
 
 def d_envelope(args):
     """Measure the kernel family's d-envelope (VERDICT round-2 task 4):
-    fused Pallas kernel vs XLA scan throughput at d in {5, 16, 32, 64},
+    fused Pallas kernel vs XLA scan throughput at d in {5, 16, 32, 64, 128},
     T=1024.  The kernel's per-step work is ~3d full-width VPU ops per
     lane; the scan amortizes d into MXU matvecs — past a crossover the
     scan wins and `ops.pallas_game.kernel_envelope` must route there.
@@ -110,6 +110,88 @@ def d_envelope(args):
         log_metrics(args.out, r)
 
 
+def d_envelope_big(args):
+    """Extend the measured d-envelope past the register-state boundary
+    (VERDICT round-4 task 2): the VMEM-state d-loop kernel
+    (ops/pallas_game state='vmem') at d in {128, 256, 512} vs the XLA
+    scan, T=1024 — plus reg-vs-vmem at d=128 so the state-mode cost is
+    itself measured.  bf16 storage where the (2d+2)-tile f32 state +
+    streamed blocks fit the 11 MB budget; f32 storage (S=8) at d=512
+    where bf16's 16-sublane state does not.  Appends records to
+    BENCH_DETAILS.jsonl."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.data.device import random_packed_batch
+    from online_convex_optimization_tpu.models.linear import simulate_linear_batch
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        regrets_fused, sublanes_for)
+    from online_convex_optimization_tpu.utils.logging_utils import log_metrics
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print("d-envelope-big is a TPU measurement; backend =", backend)
+        return
+
+    T, K = 1024, 8
+    records = []
+    combos = [(128, "reg", jnp.bfloat16), (128, "vmem", jnp.bfloat16),
+              (256, "vmem", jnp.bfloat16), (512, "vmem", jnp.bfloat16),
+              (512, "vmem", jnp.float32)]
+    for d, state, dtype in combos:
+        LB = max(128, (16384 * 5 // d) // 128 * 128)
+        S = sublanes_for(dtype)
+        dname = jnp.dtype(dtype).name
+        try:
+            zd, yd = random_packed_batch(jax.random.key(d), T, LB, d=d,
+                                         dtype=dtype)
+
+            @functools.partial(jax.jit, static_argnames=("k", "state"))
+            def run_fused(z, y, *, k, state):
+                def body(i, acc):
+                    eta = np.float32(np.sqrt(2.0)) * (
+                        1.0 + 1e-6 * i.astype(jnp.float32))
+                    return acc + regrets_fused(z, y, eta, alg_flag=0,
+                                               state=state)
+                return jax.lax.fori_loop(0, k, body,
+                                         jnp.zeros((S, LB), jnp.float32))
+
+            secs = _fetch_time(lambda: run_fused(zd, yd, k=K,
+                                                 state=state)) / K
+            records.append({
+                "metric": (f"d_envelope_kernel_d{d}_{state}_{dname}"
+                           "_steps_per_s"),
+                "value": S * LB * T / secs, "unit": "steps/s",
+                "note": (f"fused kernel state={state}, d={d}, {dname}, "
+                         f"{S * LB} seqs, T={T}")})
+            del zd, yd
+        except Exception as e:  # VMEM budget / mosaic limit: record it
+            records.append({
+                "metric": (f"d_envelope_kernel_d{d}_{state}_{dname}"
+                           "_steps_per_s"),
+                "value": 0.0, "unit": "steps/s",
+                "note": f"kernel refused: {type(e).__name__}: {e}"[:400]})
+
+    for d, B in ((256, 2048), (512, 1024)):
+        kz, ky = jax.random.split(jax.random.key(100 + d))
+        z = jax.random.normal(kz, (B, T, d), jnp.float32)
+        z = z / jnp.maximum(
+            jnp.linalg.norm(z, axis=-1, keepdims=True), 1.0)
+        y = jax.random.rademacher(ky, (B, T), jnp.float32)
+        secs = _fetch_time(
+            lambda: simulate_linear_batch(z, y, 0, 1.414, unroll=8).regret)
+        records.append({
+            "metric": f"d_envelope_scan_d{d}_steps_per_s",
+            "value": B * T / secs, "unit": "steps/s",
+            "note": f"XLA scan, d={d}, {B} seqs, T={T}"})
+        del z, y
+
+    for r in records:
+        r["backend"] = backend
+        print(r)
+        log_metrics(args.out, r)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true",
@@ -117,10 +199,16 @@ def main():
     parser.add_argument("--out", default="BENCH_DETAILS.jsonl")
     parser.add_argument("--d-envelope", action="store_true",
                         help="measure kernel-vs-scan d crossover only")
+    parser.add_argument("--d-envelope-big", action="store_true",
+                        help="VMEM-state kernel vs scan at d in "
+                             "{128,256,512}")
     args = parser.parse_args()
 
     if args.d_envelope:
         d_envelope(args)
+        return
+    if args.d_envelope_big:
+        d_envelope_big(args)
         return
 
     import jax

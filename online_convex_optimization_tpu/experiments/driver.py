@@ -58,7 +58,10 @@ def _resolve_dtype(cfg: ExperimentConfig):
 def run_experiment(cfg: ExperimentConfig) -> Dict:
     from online_convex_optimization_tpu.utils.logging_utils import (
         get_logger, log_metrics)
+    from online_convex_optimization_tpu.utils import relay
     log = get_logger()
+    relay.install()  # count relay compiles from here on (task 8)
+    relay_base = relay.compile_stats()
     t_start = time.time()
     dtype = _resolve_dtype(cfg)
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -144,10 +147,13 @@ def run_experiment(cfg: ExperimentConfig) -> Dict:
                   else "Online Linear Binary Classification"),
         dpi=cfg.dpi)
 
-    # 3) structured results
+    # 3) structured results.  relay: compile count/seconds observed this
+    # run + a dispatch-latency probe, so a 78-vs-278 s wall is
+    # self-diagnosing as congestion vs regression (VERDICT r4 task 8).
     results = {
         "config": dataclasses.asdict(cfg),
         "wall_s": time.time() - t_start,
+        "relay": relay.snapshot(since=relay_base),
         "g_emp": {str(k): v for k, v in g_emp.items()},
         "stats": {
             title: {k: {"mean": list(map(float, m)), "ci": list(map(float, c))}

@@ -61,7 +61,12 @@ def _save_g_cache(cache_path: str, g: Dict[int, float], key: dict,
     additional context (solver, iteration caps) for auditability."""
     os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
     payload: dict = {str(k): v for k, v in sorted(g.items())}
-    payload["_meta"] = {"key": key, "info": info}
+    # Relay-health stamp (no dispatch probe — saves happen per-T):
+    # cumulative process compile count/seconds at write time, so a slow
+    # g sweep is attributable to relay compiles after the fact.
+    from online_convex_optimization_tpu.utils import relay
+    payload["_meta"] = {"key": key, "info": info,
+                        "relay": relay.snapshot(probe=False)}
     with open(cache_path, "w") as f:
         json.dump(payload, f, indent=1)
 
@@ -104,6 +109,8 @@ def estimate_g(
 ) -> Dict[int, float]:
     """g(T) table, resuming from ``cache_path`` when its provenance
     matches (see _load_g_cache)."""
+    from online_convex_optimization_tpu.utils import relay
+    relay.install()
     meta_key = {"kind": "g_plain", "runs": int(runs),
                 "base_seed": int(base_seed), "eta0": float(eta0),
                 "dtype": np.dtype(dtype).name}
@@ -161,6 +168,8 @@ def estimate_g_exact(
 
     try_linear = solver in ("auto", "linear")
 
+    from online_convex_optimization_tpu.utils import relay
+    relay.install()
     meta_key = {"kind": "g_exact", "runs": int(runs),
                 "base_seed": int(base_seed), "eta0": float(eta0),
                 "norm": norm, "dtype": np.dtype(dtype).name}

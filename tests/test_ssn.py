@@ -297,6 +297,7 @@ def test_auto_keeps_admm_for_ooc_without_x64():
 
     ev._band_programs.cache_clear()
     ssn_mod.ssn_all_prefixes = counting
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
         audit = {}
@@ -305,7 +306,7 @@ def test_auto_keeps_admm_for_ooc_without_x64():
             dtype=np.float32, stream_name="ooc-auto-f32", progress=False,
             solver="auto", audit_out=audit)
     finally:
-        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_enable_x64", prev_x64)
         ssn_mod.ssn_all_prefixes = orig
         ev._band_programs.cache_clear()
     assert calls["n"] == 0, "auto routed OOC cells to SSN without x64"
