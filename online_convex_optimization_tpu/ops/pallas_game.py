@@ -116,24 +116,230 @@ def _play_chunk(ct, unroll, step_fn, theta_acc, cum_acc, d):
     cum_acc[:] = cum
 
 
+# ------------------------------------------------------------------
+# VMEM-state d-loop building blocks (large-d kernels, VERDICT r4 task 2)
+#
+# The register-state kernels above fully unroll d: theta/w ride the
+# fori_loop carry as d Python-list register slices — 3d straight-line
+# VPU ops per step, optimal through the measured d <= 128 but compile-
+# and register-pressure-bound beyond.  Here theta/w stay IN VMEM scratch
+# (the ADMM kernel proved VMEM-resident iterate state, ops/pallas_admm)
+# and each step runs two db-way-unrolled fori_loops over feature blocks:
+# a reduce pass (dot, ||theta||^2) and an update pass (theta += c*z,
+# w += y*z), with dynamic leading-dim indexing into the scratch tiles.
+# Same math, same outputs; only the state residency differs.
+# ------------------------------------------------------------------
+
+def _dloop_reduce(k, z_ref, theta_acc, d, db, zero):
+    """(dot, nth): sum_j z[k,j]*theta[j] and sum_j theta[j]^2 over all d
+    feature slices, db-way unrolled, state read from VMEM scratch."""
+    nb_d = d // db
+
+    def body(jb, acc):
+        dot, nth = acc
+        for u in range(db):
+            j = jb * db + u
+            zj = z_ref[k, j].astype(jnp.float32)
+            tj = theta_acc[j]
+            dot = dot + zj * tj
+            nth = nth + tj * tj
+        return dot, nth
+
+    dot, nth = jax.lax.fori_loop(0, nb_d, body, (zero, zero))
+    for j in range(nb_d * db, d):      # static remainder (d % db slices)
+        zj = z_ref[k, j].astype(jnp.float32)
+        tj = theta_acc[j]
+        dot = dot + zj * tj
+        nth = nth + tj * tj
+    return dot, nth
+
+
+def _dloop_update(k, z_ref, theta_acc, coef, d, db, w_acc=None, y_t=None):
+    """theta[j] += coef * z[k,j] (and w[j] += y_t * z[k,j] when carried),
+    written straight back to VMEM scratch."""
+    nb_d = d // db
+
+    def body(jb, c):
+        for u in range(db):
+            j = jb * db + u
+            zj = z_ref[k, j].astype(jnp.float32)
+            theta_acc[j] = theta_acc[j] + coef * zj
+            if w_acc is not None:
+                w_acc[j] = w_acc[j] + y_t * zj
+        return c
+
+    jax.lax.fori_loop(0, nb_d, body, 0)
+    for j in range(nb_d * db, d):
+        zj = z_ref[k, j].astype(jnp.float32)
+        theta_acc[j] = theta_acc[j] + coef * zj
+        if w_acc is not None:
+            w_acc[j] = w_acc[j] + y_t * zj
+
+
+def _game_kernel_dloop(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
+                       theta_acc, cum_acc, *, ct: int, d: int, db: int,
+                       nchunks: int, alg_flag: int, unroll: int):
+    """VMEM-state twin of ``_game_kernel`` for large d: same play-step
+    semantics (_play_step), theta resident in VMEM scratch with db-blocked
+    feature loops instead of a d-wide register carry."""
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        theta_acc[:] = jnp.zeros_like(theta_acc)
+        cum_acc[:] = jnp.zeros_like(cum_acc)
+
+    def one(k, cum):
+        y_t = y_ref[k].astype(jnp.float32)
+        zero = jnp.zeros_like(y_t)
+        dotz, nth = _dloop_reduce(k, z_ref, theta_acc, d, db, zero)
+        if alg_flag == 0:
+            eff = _ftrl_eff(scale_ref[chunk * ct + k], nth)
+        else:
+            eff = _ftl_eff(nth)
+        diff = eff * dotz - y_t
+        s = jnp.sign(diff)
+        cum = cum + 0.5 * (diff * s)
+        _dloop_update(k, z_ref, theta_acc, 0.5 * s, d, db)
+        return cum
+
+    def body(i, cum):
+        for u in range(unroll):
+            cum = one(i * unroll + u, cum)
+        return cum
+
+    cum_acc[:] = jax.lax.fori_loop(0, ct // unroll, body, cum_acc[:])
+
+    @pl.when(chunk == nchunks - 1)
+    def _finalize():
+        cum_ref[:] = cum_acc[:]
+        theta_ref[:] = theta_acc[:]
+
+
+def _regret_kernel_dloop(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
+                         theta_acc, w_acc, sc_acc, *, ct: int, d: int,
+                         db: int, nchunks: int, alg_flag: int,
+                         per_lane: bool, unroll: int, dense: bool = False):
+    """VMEM-state twin of ``_regret_kernel`` (fused game + identity
+    comparator) for large d: theta2/w resident in VMEM scratch,
+    db-blocked feature loops.  Same step algebra (theta2 accumulator,
+    prefetched scaleh/s2, un-halved cum) — see _regret_kernel."""
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        theta_acc[:] = jnp.zeros_like(theta_acc)
+        w_acc[:] = jnp.zeros_like(w_acc)
+        sc_acc[:] = jnp.zeros_like(sc_acc)
+
+    if per_lane:
+        eta = eta_ref[:]
+        eta2 = eta * eta
+
+    def one(k, state):
+        cum, cnt = state
+        y_t = y_ref[k].astype(jnp.float32)
+        zero = jnp.zeros_like(y_t)
+        dotz2, nth2 = _dloop_reduce(k, z_ref, theta_acc, d, db, zero)
+        t_idx = chunk * ct + k
+        if alg_flag == 0:
+            if per_lane:
+                s2 = eta2 * s2_ref[t_idx]
+                scaleh = eta * scaleh_ref[t_idx]
+            else:
+                s2 = s2_ref[t_idx]
+                scaleh = scaleh_ref[t_idx]
+            clip = jax.lax.rsqrt(jnp.maximum(s2 * nth2, 1.0))
+            diff = (scaleh * clip) * dotz2 - y_t
+        else:
+            eff = _ftl_eff(nth2)
+            diff = eff * dotz2 - y_t
+        s = jnp.sign(diff)
+        cum = cum + diff * s          # == |q - y| (un-halved)
+        _dloop_update(k, z_ref, theta_acc, s, d, db, w_acc=w_acc, y_t=y_t)
+        if not dense:
+            cnt = cnt + y_t * y_t
+        return cum, cnt
+
+    def body(i, state):
+        for u in range(unroll):
+            state = one(i * unroll + u, state)
+        return state
+
+    cum, cnt = jax.lax.fori_loop(0, ct // unroll, body,
+                                 (sc_acc[0], sc_acc[1]))
+    sc_acc[0], sc_acc[1] = cum, cnt
+
+    @pl.when(chunk == nchunks - 1)
+    def _finalize():
+        zero = jnp.zeros_like(sc_acc[0])
+
+        def fin(jb, acc):
+            nth, dotw = acc
+            for u in range(db):
+                j = jb * db + u
+                tj = theta_acc[j]
+                nth = nth + tj * tj
+                dotw = dotw + tj * w_acc[j]
+            return nth, dotw
+
+        nth, dotw = jax.lax.fori_loop(0, d // db, fin, (zero, zero))
+        for j in range((d // db) * db, d):
+            tj = theta_acc[j]
+            nth = nth + tj * tj
+            dotw = dotw + tj * w_acc[j]
+        effC = _ftl_eff(nth)          # normalization: the 2x scale cancels
+        if dense:
+            comp2 = float(ct * nchunks) - effC * dotw
+        else:
+            comp2 = sc_acc[1] - effC * dotw
+        out_ref[:] = 0.5 * (sc_acc[0] - comp2)
+
+
+# Register-state kernels fully unroll d into the fori_loop carry; past
+# this boundary the VMEM-state d-loop kernels take over (measured: the
+# register variant's compile time and register pressure grow with d,
+# while the d-loop variant is flat).
+_D_REG_STATE_MAX = 128
+
+
 def _choose_tiles(B, T, d, lanes_per_program, chunk_t, unroll, *,
-                  sublanes: int = SUBLANES, itemsize: int = 4):
+                  sublanes: int = SUBLANES, itemsize: int = 4,
+                  scratch_tiles: int = 0):
     """Pick (lanes, ct, unroll, nchunks, nb): lanes is a 128-multiple
     divisor of B; ct a power-of-two divisor of T sized so the
-    double-buffered (z + y) blocks stay inside the VMEM budget."""
+    double-buffered (z + y) blocks stay inside the VMEM budget.
+
+    ``scratch_tiles``: number of f32 (sublanes, lanes) VMEM scratch tiles
+    the kernel holds (theta/w/cum state).  The register-state kernels at
+    d <= 128 pass 0 (their scratch fits the historical slack — changing
+    their accounting would perturb the measured headline tiles); the
+    VMEM-state large-d kernels pass (2d+2) etc. so the d=256/512 state is
+    priced against the same 11 MB budget as the streamed blocks.
+    """
     assert B % LANES == 0, B
     lanes = min(lanes_per_program, B)
     lanes -= lanes % LANES
     while B % lanes:
         lanes -= LANES
     vmem_budget = 11 * 1024 * 1024
+
+    def _avail(lanes):
+        return vmem_budget - scratch_tiles * sublanes * lanes * 4
+
     per_t = 2 * (d + 1) * sublanes * lanes * itemsize  # dbl-buffered z + y
-    while vmem_budget // per_t < 8 and lanes > LANES:
+    while (_avail(lanes) // per_t < 8 and lanes > LANES
+           and scratch_tiles == 0):
         lanes = max(lanes // 2 - (lanes // 2) % LANES, LANES)
         while B % lanes:
             lanes -= LANES
         per_t = 2 * (d + 1) * sublanes * lanes * itemsize
-    bound = vmem_budget // per_t
+    while _avail(lanes) // per_t < 1 and lanes > LANES:
+        lanes = max(lanes // 2 - (lanes // 2) % LANES, LANES)
+        while B % lanes:
+            lanes -= LANES
+        per_t = 2 * (d + 1) * sublanes * lanes * itemsize
+    bound = _avail(lanes) // per_t
     if bound < 1:
         raise ValueError(
             f"d={d} too large for the VMEM budget at lanes={lanes}")
@@ -183,10 +389,12 @@ def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("alg_flag", "chunk_t", "unroll",
-                                    "lanes_per_program", "interpret"))
+                                    "lanes_per_program", "interpret",
+                                    "state", "d_block"))
 def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
                 *, alg_flag: int = 0, chunk_t: int = 256, unroll: int = 4,
-                lanes_per_program: int = 4 * LANES, interpret: bool = False):
+                lanes_per_program: int = 4 * LANES, interpret: bool = False,
+                state: str = "auto", d_block: int = 8):
     """Run the online game on packed inputs.
 
     Args:
@@ -205,12 +413,20 @@ def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
     """
     T, d, S, B = z_pack.shape
     assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
+    if state == "auto":
+        state = "vmem" if d > _D_REG_STATE_MAX else "reg"
     lanes, ct, unroll, nchunks, nb = _choose_tiles(
         B, T, d, lanes_per_program, chunk_t, unroll,
-        sublanes=S, itemsize=z_pack.dtype.itemsize)
+        sublanes=S, itemsize=z_pack.dtype.itemsize,
+        scratch_tiles=(d + 1) if state == "vmem" else 0)
 
-    kernel = functools.partial(_game_kernel, ct=ct, d=d, nchunks=nchunks,
-                               alg_flag=alg_flag, unroll=unroll)
+    if state == "vmem":
+        kernel = functools.partial(_game_kernel_dloop, ct=ct, d=d,
+                                   db=min(d_block, d), nchunks=nchunks,
+                                   alg_flag=alg_flag, unroll=unroll)
+    else:
+        kernel = functools.partial(_game_kernel, ct=ct, d=d, nchunks=nchunks,
+                                   alg_flag=alg_flag, unroll=unroll)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scales
         grid=(nb, nchunks),
@@ -562,11 +778,12 @@ def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
 @functools.partial(jax.jit,
                    static_argnames=("alg_flag", "chunk_t", "unroll",
                                     "lanes_per_program", "interpret",
-                                    "dense"))
+                                    "dense", "state", "d_block"))
 def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
                   chunk_t: int = 256, unroll: int = 4,
                   lanes_per_program: int = 4 * LANES,
-                  interpret: bool = False, dense: bool = False):
+                  interpret: bool = False, dense: bool = False,
+                  state: str = "auto", d_block: int = 8):
     """Fully fused regret evaluation: game + identity-based comparator in
     ONE single-pass kernel — the headline throughput path (see
     _regret_kernel for the op-level design).  Requires the framework data
@@ -583,9 +800,12 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
     """
     T, d, S, B = z_pack.shape
     assert S == sublanes_for(z_pack.dtype), (S, z_pack.dtype)
+    if state == "auto":
+        state = "vmem" if d > _D_REG_STATE_MAX else "reg"
     lanes, ct, u, nchunks, nb = _choose_tiles(
         B, T, d, lanes_per_program, chunk_t, unroll,
-        sublanes=S, itemsize=z_pack.dtype.itemsize)
+        sublanes=S, itemsize=z_pack.dtype.itemsize,
+        scratch_tiles=(2 * d + 2) if state == "vmem" else 0)
 
     eta_arr = jnp.asarray(eta, jnp.float32)
     per_lane = eta_arr.ndim == 2
@@ -605,9 +825,15 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
         eta_in = [jnp.zeros((S, B), jnp.float32)]
         eta_specs = [pl.BlockSpec((S, lanes), lambda i, j, s1, s2: (0, i))]
 
-    kernel = functools.partial(_regret_kernel, ct=ct, d=d, nchunks=nchunks,
-                               alg_flag=alg_flag, per_lane=per_lane, unroll=u,
-                               dense=dense)
+    if state == "vmem":
+        kernel = functools.partial(
+            _regret_kernel_dloop, ct=ct, d=d, db=min(d_block, d),
+            nchunks=nchunks, alg_flag=alg_flag, per_lane=per_lane,
+            unroll=u, dense=dense)
+    else:
+        kernel = functools.partial(
+            _regret_kernel, ct=ct, d=d, nchunks=nchunks, alg_flag=alg_flag,
+            per_lane=per_lane, unroll=u, dense=dense)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # scaleh, s2
         grid=(nb, nchunks),
@@ -1107,20 +1333,22 @@ def pack_per_seq(vals: jnp.ndarray, S: int) -> jnp.ndarray:
     return v.reshape(nb, S, LANES).transpose(1, 0, 2).reshape(S, nb * LANES)
 
 
-# Kernel d-envelope (VERDICT round-2 task 4).  The kernel family is
-# structurally d-general — theta/w live as d VMEM register slices and
-# _choose_tiles already prices d into the block budget — and the per-step
-# work is ~3d full-width VPU ops per lane, so throughput falls ~1/d
-# (measured on chip: 2.2e10 / 8.7e9 / 4.8e9 / 2.5e9 / 1.3e9 steps/s at
-# d = 5/16/32/64/128, T=1024 bf16).  The XLA scan does NOT catch up
-# inside the measured range: 1.3-1.4e8 steps/s at d=32/64 (B=16384) and
-# 1.0e8 at d=128 (B=8192) — the kernel still leads 13-19x at the
-# boundary (docs/BENCHMARKS.md "Kernel d-envelope", BENCH_DETAILS
-# d_envelope_* records).  _D_KERNEL_MAX is therefore the measured
-# boundary, not a crossover: beyond it the auto dispatcher routes to
-# the scan because the kernel is unmeasured there, not because the
-# scan won.
-_D_KERNEL_MAX = 128
+# Kernel d-envelope (VERDICT round-2 task 4; extended past the register
+# boundary in round 5, task 2).  The kernel family is structurally
+# d-general and the per-step work is ~3d full-width VPU ops per lane, so
+# throughput falls ~1/d (measured on chip, T=1024: 2.2e10 / 8.7e9 /
+# 4.8e9 / 2.5e9 / 1.1-1.3e9 steps/s at d = 5/16/32/64/128 with the
+# register-state kernel, then 4.9e8 at d=256 (bf16) and 1.5e8 at d=512
+# (f32 — bf16's 16-sublane f32 state exceeds the VMEM budget there) with
+# the VMEM-state d-loop kernel).  The XLA scan NEVER catches up: 4.3e7
+# at d=256 and 2.2e7 at d=512 — the kernel still leads 11x / 6.7x at
+# the boundary (docs/BENCHMARKS.md "Kernel d-envelope", BENCH_DETAILS
+# d_envelope_* records).  _D_KERNEL_MAX remains the measured boundary,
+# not a crossover: beyond it the auto dispatcher routes to the scan
+# because the kernel is unmeasured there, not because the scan won.
+# State routing: register-state through d <= _D_REG_STATE_MAX (1.24x
+# the VMEM-state kernel at their d=128 overlap), VMEM-state beyond.
+_D_KERNEL_MAX = 512
 
 
 def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32):
@@ -1129,13 +1357,14 @@ def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32):
     if d > _D_KERNEL_MAX:
         return (f"d={d} past the measured kernel envelope "
                 f"(d<={_D_KERNEL_MAX}; the kernel still led the scan "
-                f"13x at the boundary, but is unmeasured beyond it)")
+                f"6.7x at the boundary, but is unmeasured beyond it)")
     S = sublanes_for(dtype)
     itemsize = jnp.dtype(dtype).itemsize
     Bp = -(-B // (S * LANES)) * LANES        # packed lane dim
     try:
         _choose_tiles(Bp, T, d, 4 * LANES, 256, 4, sublanes=S,
-                      itemsize=itemsize)
+                      itemsize=itemsize,
+                      scratch_tiles=(d + 1) if d > _D_REG_STATE_MAX else 0)
     except ValueError as e:                   # VMEM budget exceeded
         return str(e)
     return None
