@@ -30,6 +30,7 @@ import functools
 import math
 from typing import Callable, Dict, Mapping, Optional, Tuple
 
+import jax
 import numpy as np
 
 from online_convex_optimization_tpu.data.rng import run_seed_schedule
@@ -116,6 +117,28 @@ def evaluate_stream_golden(
             for k, v in curves.items()}
 
 
+@jax.jit
+def _eval_chunk_on_device(zd, yd, lend, th_theory, th_emp, eta0):
+    """All four algorithms on one uploaded chunk: FTRL+FTL ride one
+    flag-vector linear scan, SMART(theory)+SMART(emp) one threshold-
+    vector SMART scan; the [chunk, chunk] duplication is an on-device
+    concatenate, so the chunk's (z, y) bytes cross the relay once
+    instead of four times.  Scan arithmetic identical to the separate
+    calls (the per-sequence programs don't interact)."""
+    import jax.numpy as jnp
+
+    n = zd.shape[0]
+    z2 = jnp.concatenate([zd, zd])
+    y2 = jnp.concatenate([yd, yd])
+    len2 = jnp.concatenate([lend, lend])
+    flags = jnp.concatenate([jnp.zeros(n, jnp.int32),
+                             jnp.ones(n, jnp.int32)])
+    lin = simulate_linear_batch(z2, y2, flags, eta0, len2)
+    th2 = jnp.concatenate([th_theory, th_emp])
+    sm = simulate_smart_batch(z2, y2, th2, eta0, len2)
+    return lin.regret, sm.regret
+
+
 def evaluate_stream_with_stats(
     stream_builder: Callable,
     T_grid,
@@ -158,32 +181,48 @@ def evaluate_stream_with_stats(
     thresh_theory = np.sqrt(2.0 * lengths).astype(dtype)
     thresh_emp = np.asarray([g_emp[t] for t in all_T], dtype=dtype)
 
-    # ---- batched device evaluation (chunked) ----
+    # ---- batched device evaluation (chunked, double-buffered) ----
+    # Transfer discipline (VERDICT r4 task 3): the old loop host-
+    # concatenated [chunk, chunk] and passed the doubled arrays to BOTH
+    # the linear and the SMART call — 4x the chunk's z bytes through the
+    # ~10 MB/s relay, serially between compute calls.  Now each chunk's
+    # (z, y) crosses ONCE via an explicit async device_put, the
+    # FTRL/FTL + SMART duplication happens on device inside one jitted
+    # program, and the NEXT chunk's upload is issued before blocking on
+    # the current chunk's results, so transfer overlaps compute.
+    # Bitwise-neutral: the per-sequence scan arithmetic is unchanged
+    # (verified against the committed full-scale artifact).
     regrets = {k: np.empty(B) for k in ALGO_KEYS}
-    iterator = range(0, B, batch_chunk)
+    starts = list(range(0, B, batch_chunk))
+    iterator = starts
     if progress and B > batch_chunk:
         try:
             from tqdm import tqdm
-            iterator = tqdm(list(iterator),
-                            desc=f"{stream_name:>24} | B={B}")
+            iterator = tqdm(starts, desc=f"{stream_name:>24} | B={B}")
         except ImportError:
             pass
-    for s in iterator:
+
+    def _put(s):
+        e = min(s + batch_chunk, B)
+        return (jax.device_put(z[s:e]), jax.device_put(y[s:e]),
+                jax.device_put(lengths[s:e]),
+                jax.device_put(thresh_theory[s:e]),
+                jax.device_put(thresh_emp[s:e]))
+
+    pending = _put(0) if starts else None
+    for i, s in enumerate(iterator):
         e = min(s + batch_chunk, B)
         n = e - s
-        # FTRL + FTL in one call: duplicate the chunk with a flag vector.
-        z2 = np.concatenate([z[s:e], z[s:e]])
-        y2 = np.concatenate([y[s:e], y[s:e]])
-        len2 = np.concatenate([lengths[s:e], lengths[s:e]])
-        flags = np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
-        lin = simulate_linear_batch(z2, y2, flags, eta0, len2)
-        lin_reg = np.asarray(lin.regret)
+        zd, yd, lend, thd, emd = pending
+        lin_reg_d, sm_reg_d = _eval_chunk_on_device(zd, yd, lend, thd, emd,
+                                                    eta0)
+        # Issue the next chunk's transfer while this chunk computes.
+        if i + 1 < len(starts):
+            pending = _put(starts[i + 1])
+        lin_reg = np.asarray(lin_reg_d)
+        sm_reg = np.asarray(sm_reg_d)
         regrets["FTRL"][s:e] = lin_reg[:n]
         regrets["FTL"][s:e] = lin_reg[n:]
-        # SMART theory + empirical thresholds in one call.
-        th2 = np.concatenate([thresh_theory[s:e], thresh_emp[s:e]])
-        sm = simulate_smart_batch(z2, y2, th2, eta0, len2)
-        sm_reg = np.asarray(sm.regret)
         regrets["SMART"][s:e] = sm_reg[:n]
         regrets["EMP"][s:e] = sm_reg[n:]
 
@@ -488,7 +527,9 @@ def evaluate_stream_exact(
 
     if selection not in ("committed", "canonical"):
         raise ValueError(f"unknown selection {selection!r}")
-    use_canonical = selection == "canonical" and norm == "l2"
+    # All three balls get the canonical ladder (r5 task 4): the
+    # optimality LP's normal cone is norm-aware (models/canonical.py).
+    use_canonical = selection == "canonical"
     if use_canonical:
         from online_convex_optimization_tpu.models.canonical import (
             canonical_prefix_actions, canonicalize)

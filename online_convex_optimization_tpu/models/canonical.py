@@ -1,4 +1,4 @@
-"""Canonical selection on degenerate exact-FTL optima (l2 ball).
+"""Canonical selection on degenerate exact-FTL optima (l2/linf/l1 balls).
 
 THE PROBLEM (docs/DESIGN.md "Canonical selection"): on the deterministic
 w = 0 families (label flips, switching leaders — the reference's own
@@ -52,11 +52,32 @@ from online_convex_optimization_tpu.models.polish import objective
 _TAUS = (1e-9, 1e-7, 1e-5, 1e-3)
 
 
+def _ball_norm(x: np.ndarray, norm: str) -> float:
+    if norm == "l2":
+        return float(np.linalg.norm(x))
+    if norm == "linf":
+        return float(np.abs(x).max(initial=0.0))
+    if norm == "l1":
+        return float(np.abs(x).sum())
+    raise ValueError(norm)
+
+
 def _optimality_lp(z: np.ndarray, y: np.ndarray, x: np.ndarray,
-                   active: np.ndarray, tol: float = 1e-9) -> bool:
+                   active: np.ndarray, tol: float = 1e-9,
+                   norm: str = "l2") -> bool:
     """Exact first-order optimality of ``x`` with kink set ``active``:
     feasibility of the subgradient system above, as an LP with slack
-    minimization (optimal slack ~ 0 iff feasible)."""
+    minimization (optimal slack ~ 0 iff feasible).
+
+    The ball's normal cone at ``x`` is norm-specific and LP-
+    representable in all three cases (/root/reference/exact_ftl.py:
+    95-102 treats the same three balls):
+
+      l2    {lam * x : lam >= 0}                  (boundary only)
+      linf  {sum_j mu_j sign(x_j) e_j : mu >= 0, j with |x_j| = 1}
+      l1    {v : v_j = t*sign(x_j) on supp(x), |v_j| <= t off-support,
+             t >= 0}                              (boundary only)
+    """
     from scipy.optimize import linprog
 
     d = z.shape[1]
@@ -66,25 +87,66 @@ def _optimality_lp(z: np.ndarray, y: np.ndarray, x: np.ndarray,
         if out.any() else np.zeros(d)
     zA = z[active]
     nA = int(active.sum())
-    nx = float(np.linalg.norm(x))
-    boundary = nx > 1.0 - 1e-9
-    # Variables: u (nA), lam (1 if boundary else 0), s+ (d), s- (d).
-    n_lam = 1 if boundary else 0
-    n_var = nA + n_lam + 2 * d
-    # Equalities: zA^T u + lam x + s+ - s- = -g_out
+    boundary = _ball_norm(x, norm) > 1.0 - 1e-9
+
+    # Normal-cone variable block: cone_cols (d, k) with bounds, plus
+    # optional A_ub coupling rows (the l1 |v_j| <= t constraints).
+    cone_cols = np.zeros((d, 0))
+    cone_bounds = []
+    ub_rows = None                    # rows over the cone block only
+    if boundary:
+        if norm == "l2":
+            cone_cols = x[:, None]
+            cone_bounds = [(0, None)]
+        elif norm == "linf":
+            J = np.flatnonzero(np.abs(x) > 1.0 - 1e-9)
+            cone_cols = np.zeros((d, J.size))
+            for k, j in enumerate(J):
+                cone_cols[j, k] = np.sign(x[j])
+            cone_bounds = [(0, None)] * J.size
+        elif norm == "l1":
+            supp = np.abs(x) > 1e-12
+            off = np.flatnonzero(~supp)
+            # vars: [t, r_off...]; v = t*sign(x) on supp, r_j off.
+            cone_cols = np.zeros((d, 1 + off.size))
+            cone_cols[supp, 0] = np.sign(x[supp])
+            for k, j in enumerate(off):
+                cone_cols[j, 1 + k] = 1.0
+            cone_bounds = [(0, None)] + [(None, None)] * off.size
+            if off.size:
+                # |r_j| <= t  ->  r_j - t <= 0 and -r_j - t <= 0.
+                ub_rows = np.zeros((2 * off.size, 1 + off.size))
+                for k in range(off.size):
+                    ub_rows[2 * k, 0] = -1.0
+                    ub_rows[2 * k, 1 + k] = 1.0
+                    ub_rows[2 * k + 1, 0] = -1.0
+                    ub_rows[2 * k + 1, 1 + k] = -1.0
+        else:
+            raise ValueError(norm)
+    nC = cone_cols.shape[1]
+
+    # Variables: u (nA), cone (nC), s+ (d), s- (d).
+    n_var = nA + nC + 2 * d
+    # Equalities: zA^T u + cone_cols @ mu + s+ - s- = -g_out
     A_eq = np.zeros((d, n_var))
     if nA:
         A_eq[:, :nA] = zA.T
-    if n_lam:
-        A_eq[:, nA] = x
-    A_eq[:, nA + n_lam:nA + n_lam + d] = np.eye(d)
-    A_eq[:, nA + n_lam + d:] = -np.eye(d)
+    if nC:
+        A_eq[:, nA:nA + nC] = cone_cols
+    A_eq[:, nA + nC:nA + nC + d] = np.eye(d)
+    A_eq[:, nA + nC + d:] = -np.eye(d)
     b_eq = -g_out
     c = np.zeros(n_var)
-    c[nA + n_lam:] = 1.0            # minimize total slack
-    bounds = ([(-0.5, 0.5)] * nA + ([(0, None)] if n_lam else [])
+    c[nA + nC:] = 1.0               # minimize total slack
+    bounds = ([(-0.5, 0.5)] * nA + cone_bounds
               + [(0, None)] * (2 * d))
-    res = linprog(c, A_eq=A_eq, b_eq=b_eq, bounds=bounds, method="highs")
+    A_ub = b_ub = None
+    if ub_rows is not None:
+        A_ub = np.zeros((ub_rows.shape[0], n_var))
+        A_ub[:, nA:nA + nC] = ub_rows
+        b_ub = np.zeros(ub_rows.shape[0])
+    res = linprog(c, A_eq=A_eq, b_eq=b_eq, A_ub=A_ub, b_ub=b_ub,
+                  bounds=bounds, method="highs")
     return bool(res.success) and float(res.fun) <= tol
 
 
@@ -94,16 +156,21 @@ def canonicalize(z: np.ndarray, y: np.ndarray, x: np.ndarray,
     optimal face.  Identity when no strictly-smaller-norm optimal
     candidate verifies (unique optima; faces outside the covered
     structures).  Never degrades the objective (candidates must match
-    f(x) to 1e-9)."""
-    if norm != "l2":
-        return np.asarray(x, np.float64)    # canonical contract is l2-only
+    f(x) to 1e-9).
+
+    All three reference balls are supported (l2/linf/l1 —
+    /root/reference/exact_ftl.py:95-102): feasibility uses the ball
+    norm, while the canonical point of a face is its min-l2-norm
+    element for every ball (the selection must only be deterministic
+    and solver-independent; min-l2 is the natural strictly-convex
+    tiebreak)."""
     z = np.asarray(z, np.float64)
     y = np.asarray(y, np.float64)
     x = np.asarray(x, np.float64)
     f_x = objective(z, y, x)
     best = x
     best_n = float(np.linalg.norm(x))
-    for cand in _candidates(z, y, x):
+    for cand in _candidates(z, y, x, norm):
         n = float(np.linalg.norm(cand))
         if n >= best_n - 1e-12:
             continue
@@ -112,7 +179,7 @@ def canonicalize(z: np.ndarray, y: np.ndarray, x: np.ndarray,
     return best
 
 
-def _candidates(z, y, x):
+def _candidates(z, y, x, norm="l2"):
     d = z.shape[1]
     yield np.zeros(d)                        # 0-flat
     r = z @ x - y
@@ -121,9 +188,17 @@ def _candidates(z, y, x):
         if active.any():
             zA, yA = z[active], y[active]
             x_par, *_ = np.linalg.lstsq(zA, yA, rcond=None)
-            if (np.max(np.abs(zA @ x_par - yA), initial=0.0) <= 1e-9
-                    and np.linalg.norm(x_par) <= 1.0 + 1e-12):
-                yield x_par / max(np.linalg.norm(x_par), 1.0)
+            if np.max(np.abs(zA @ x_par - yA), initial=0.0) > 1e-9:
+                continue
+            if norm == "l2":
+                # Scaling into the ball keeps the direction; the
+                # objective guard in canonicalize re-verifies.
+                if np.linalg.norm(x_par) <= 1.0 + 1e-12:
+                    yield x_par / max(np.linalg.norm(x_par), 1.0)
+            elif _ball_norm(x_par, norm) <= 1.0 + 1e-12:
+                # Non-l2 balls: scaling would break interpolation AND
+                # ball geometry — only in-ball interpolants qualify.
+                yield x_par
 
 
 def canonical_prefix_actions(z: np.ndarray, y: np.ndarray,
@@ -143,8 +218,10 @@ def canonical_prefix_actions(z: np.ndarray, y: np.ndarray,
     distinct groups; more returns None) plus the zero vector are
     proposed smallest-norm-first; the first LP-verified candidate wins.
     General unstructured data is out of scope BY DESIGN — those cells
-    keep the iterative solver and get ``canonicalize`` applied after."""
-    if norm != "l2":
+    keep the iterative solver and get ``canonicalize`` applied after.
+    All three balls are supported; candidate feasibility and the
+    optimality LP's normal cone are norm-aware (_optimality_lp)."""
+    if norm not in ("l2", "linf", "l1"):
         return None
     z = np.asarray(z, np.float64)
     y = np.asarray(y, np.float64)
@@ -169,7 +246,7 @@ def canonical_prefix_actions(z: np.ndarray, y: np.ndarray,
                 zA, yA = zt[rows], yt[rows]
                 x_par, *_ = np.linalg.lstsq(zA, yA, rcond=None)
                 if (np.max(np.abs(zA @ x_par - yA), initial=0.0) <= 1e-9
-                        and np.linalg.norm(x_par) <= 1.0 + 1e-12):
+                        and _ball_norm(x_par, norm) <= 1.0 + 1e-12):
                     cands.append(x_par)
         cands.sort(key=lambda c: float(np.linalg.norm(c)))
         found = None
@@ -177,7 +254,7 @@ def canonical_prefix_actions(z: np.ndarray, y: np.ndarray,
             rr = zt @ cand - yt
             for tau in (1e-9, 1e-7):
                 active = np.abs(rr) <= tau
-                if _optimality_lp(zt, yt, cand, active):
+                if _optimality_lp(zt, yt, cand, active, norm=norm):
                     found = cand
                     break
             if found is not None:

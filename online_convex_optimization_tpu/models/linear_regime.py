@@ -185,6 +185,57 @@ def _l2_certificate_violations(z: np.ndarray, X: np.ndarray) -> np.ndarray:
     return bad
 
 
+def _l1_certificate_violations(z: np.ndarray, w: np.ndarray,
+                               X: np.ndarray) -> np.ndarray:
+    """(B, T) violation mask for the l1 closed form x*_t = sign(w_tj) e_j.
+
+    The prediction is a single coordinate, |<z_i, x*_t>| = |z_i[j_t]|, so
+    the certificate is a per-coordinate running max M_j(t) =
+    max_{i<=t} |z_ij| gathered at j_t — O(B T d) time, O(B T d) memory,
+    no (B, T, T) prediction matrix.  For contract data this certifies
+    ALWAYS up to f32-clip slack: |z_ij| <= ||z_i||_2 <= 1 + 1e-7."""
+    M = np.maximum.accumulate(np.abs(z), axis=-2)        # (B, T, d)
+    j = np.argmax(np.abs(w), axis=-1)                    # (B, T)
+    mj = np.take_along_axis(M, j[..., None], axis=-1)[..., 0]
+    return mj > 1.0 + _CERT_SLACK
+
+
+def _linf_certificate_violations(z: np.ndarray,
+                                 X: np.ndarray) -> np.ndarray:
+    """(B, T) violation mask for the linf closed form x*_t = sign(w_t),
+    in O(T) extra memory (vs the old (B, T, T) prediction matrix).
+
+    sign(w_t) is piecewise-constant in t: it changes only when a
+    coordinate of the running sum w crosses zero.  Within a constant
+    segment [a, e) the certificate max_{i<=t} |<z_i, x>| is a running
+    max of ONE (segment) prediction vector, and a row can only violate
+    if ||z_i||_1 > 1 (Hoelder), so rows are screened first.  Worst-case
+    time O(nseg * T * d) — degrading gracefully on adversarial sign
+    oscillation while production-like data has O(d log T) segments."""
+    B, T, d = z.shape
+    bad = np.zeros((B, T), bool)
+    l1_rows = np.abs(z).sum(axis=-1)                     # (B, T)
+    for b in range(B):
+        cand = np.flatnonzero(l1_rows[b] > 1.0 + _CERT_SLACK)
+        if cand.size == 0:
+            continue
+        S = X[b]                                         # (T, d) signs
+        change = np.any(S[1:] != S[:-1], axis=1)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [T]])
+        for a, e in zip(starts, ends):
+            ii = cand[cand < e]
+            if ii.size == 0:
+                continue
+            q = z[b, ii] @ S[a]
+            viol = ii[np.abs(q) > 1.0 + _CERT_SLACK]
+            if viol.size == 0:
+                continue
+            lo = max(a, int(viol.min()))                 # i <= t only
+            bad[b, lo:e] = True
+    return bad
+
+
 def certified_prefix_actions_batch(z: np.ndarray, y: np.ndarray,
                                    norm: str = "l2",
                                    max_rescue: int = 64
@@ -219,15 +270,10 @@ def certified_prefix_actions_batch(z: np.ndarray, y: np.ndarray,
     # Certificate 1: |<z_i, x*_t>| <= 1 for every i <= t.
     if norm == "l2":
         bad = _l2_certificate_violations(z, X) | ~unique
-    else:
-        # Full (B, T, T) prediction matrix for the non-l2 closed forms
-        # (non-production; x*_t is not l2-unit so the geometric screen
-        # below does not apply).  Padded rows are z = 0, auto-certified.
-        Q = np.matmul(X, z.transpose(0, 2, 1))           # (B, T_t, T_i)
-        T = z.shape[-2]
-        past = np.tril(np.ones((T, T), bool))            # i <= t
-        bad = (((np.abs(Q) > 1.0 + _CERT_SLACK) & past).any(axis=-1)
-               | ~unique)
+    elif norm == "l1":
+        bad = _l1_certificate_violations(z, w, X) | ~unique
+    else:  # linf
+        bad = _linf_certificate_violations(z, X) | ~unique
     if bad.any():
         idx = np.argwhere(bad)
         if idx.shape[0] > max_rescue:

@@ -79,6 +79,53 @@ def test_deterministic_families_solver_independent(title):
                     <= objective(z[:t], y[:t], acts[t]) + 1e-9)
 
 
+def _lp_exact(z, y, norm):
+    """Direct HiGHS solve of min 0.5*sum s, s >= +-(Zx - y), ||x|| <= 1
+    for the linf/l1 balls (LP-exact oracles for the canonical tests)."""
+    from scipy.optimize import linprog
+
+    T, d = z.shape
+    if norm == "linf":
+        # vars: x (d, in [-1,1]), s (T)
+        A = np.block([[z, -np.eye(T)], [-z, -np.eye(T)]])
+        b = np.concatenate([y, -y])
+        c = np.concatenate([np.zeros(d), 0.5 * np.ones(T)])
+        bounds = [(-1, 1)] * d + [(0, None)] * T
+        res = linprog(c, A_ub=A, b_ub=b, bounds=bounds, method="highs")
+        return res.x[:d], res.fun
+    # l1: x = p - q, p,q >= 0, sum(p+q) <= 1
+    A_res = np.block([[z, -z, -np.eye(T)], [-z, z, -np.eye(T)]])
+    b_res = np.concatenate([y, -y])
+    A_ball = np.concatenate([np.ones(2 * d), np.zeros(T)])[None, :]
+    c = np.concatenate([np.zeros(2 * d), 0.5 * np.ones(T)])
+    bounds = [(0, None)] * (2 * d + T)
+    res = linprog(c, A_ub=np.vstack([A_res, A_ball]),
+                  b_ub=np.concatenate([b_res, [1.0]]), bounds=bounds,
+                  method="highs")
+    return res.x[:d] - res.x[d:2 * d], res.fun
+
+
+@pytest.mark.parametrize("norm", ["linf", "l1"])
+@pytest.mark.parametrize("title", ["Label flips", "Switching leaders"])
+def test_canonical_nonl2_matches_lp(norm, title):
+    """The non-l2 canonical ladder (VERDICT r4 task 4): on the w=0
+    deterministic families the l1/linf canonical trajectory exists, is
+    LP-verified optimal per prefix, and is idempotent under
+    canonicalize."""
+    sampler = CASES[title](run_seed=2025)
+    z, y = sampler(12, rep=0)[:2]
+    z = np.asarray(z, np.float64)
+    y = np.asarray(y, np.float64)
+    acts = canonical_prefix_actions(z, y, norm=norm)
+    assert acts is not None
+    for t in range(1, 13):
+        _, f_lp = _lp_exact(z[:t], y[:t], norm)
+        f_c = objective(z[:t], y[:t], acts[t])
+        assert f_c <= f_lp + 1e-9, (norm, t, f_c, f_lp)
+        again = canonicalize(z[:t], y[:t], acts[t], norm=norm)
+        np.testing.assert_allclose(again, acts[t], atol=1e-12)
+
+
 def test_canonical_prefix_actions_rejects_unstructured():
     rng = np.random.default_rng(5)
     z = rng.normal(size=(30, 5))

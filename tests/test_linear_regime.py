@@ -123,6 +123,38 @@ def test_certified_matches_highs_lp(norm):
         assert f_c <= f_lp + 1e-10, p
 
 
+@pytest.mark.parametrize("norm", ["linf", "l1"])
+def test_nonl2_violation_masks_match_dense_reference(norm):
+    """The O(T)-extra-memory l1/linf certificate screens (VERDICT r4
+    task 4) must flag EXACTLY the prefixes the old dense (B, T, T)
+    prediction matrix flagged, on data mixing certifying and violating
+    rows."""
+    from online_convex_optimization_tpu.models.linear_regime import (
+        _CERT_SLACK, _l1_certificate_violations,
+        _linf_certificate_violations, _linear_argmin)
+
+    rng = np.random.default_rng(77)
+    B, T, d = 3, 60, 5
+    z = rng.normal(size=(B, T, d)) * rng.uniform(0.1, 0.9, (B, T, 1))
+    # Sprinkle rows with big coordinates / big l1 norms to force
+    # violations in both closed forms.
+    hot = rng.random((B, T)) < 0.25
+    z[hot] *= 3.0
+    y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0)
+    w = np.cumsum(y[..., None] * z, axis=-2)
+    X, _ = _linear_argmin(w, norm)
+
+    Q = np.matmul(X, z.transpose(0, 2, 1))               # (B, T_t, T_i)
+    past = np.tril(np.ones((T, T), bool))
+    want = ((np.abs(Q) > 1.0 + _CERT_SLACK) & past).any(axis=-1)
+    if norm == "l1":
+        got = _l1_certificate_violations(z, w, X)
+    else:
+        got = _linf_certificate_violations(z, X)
+    np.testing.assert_array_equal(got, want)
+    assert want.any() and not want.all(), "test data must mix outcomes"
+
+
 def test_certified_closed_forms_and_identity():
     """x*_t = w_t/||w_t||; comparator loss = 0.5*(t - ||w_t||) — the
     carried-statistics identity the fused kernels use, now certified on
