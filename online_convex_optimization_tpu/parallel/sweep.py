@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import functools
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -30,6 +32,14 @@ from online_convex_optimization_tpu.utils.debug import finite_or_sentinel
 _BOTH = (DATA_AXIS, HYPER_AXIS)
 
 
+def _axes(mesh: Mesh):
+    """All mesh axis names, as one spec entry: sweep programs shard the
+    scenario batch over EVERY axis and reduce over every axis, so the
+    same code serves 1-, 2- and 3-axis ((host, data, hyper)) meshes
+    (VERDICT r4 task 7)."""
+    return tuple(mesh.axis_names)
+
+
 def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
                        length=None):
     """Max FTRL regret over a sharded scenario batch — the g(T) reduction.
@@ -37,9 +47,10 @@ def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
     ``z``: (B, T, d) with B divisible by the mesh size.  Returns a scalar,
     replicated on all devices.
     """
-    in_specs = (P(_BOTH), P(_BOTH))
+    axes = _axes(mesh)
+    in_specs = (P(axes), P(axes))
     if length is not None:
-        in_specs = in_specs + (P(_BOTH),)
+        in_specs = in_specs + (P(axes),)
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
              check_vma=False)
@@ -53,8 +64,8 @@ def sharded_max_regret(mesh: Mesh, z, y, eta0, *, alg_flag: int = 0,
         # poison the cross-device pmax with a NaN.
         r = finite_or_sentinel(res.regret, -jnp.inf)
         local_max = jnp.max(r)
-        local_max = jax.lax.pmax(local_max, DATA_AXIS)
-        local_max = jax.lax.pmax(local_max, HYPER_AXIS)
+        for ax in axes:
+            local_max = jax.lax.pmax(local_max, ax)
         return local_max
 
     args = (z, y) if length is None else (z, y, length)
@@ -68,8 +79,10 @@ def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0):
     (driver.py:114-127) without gathering per-scenario results.
     """
 
+    axes = _axes(mesh)
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(_BOTH), P(_BOTH)), out_specs=P(),
+             in_specs=(P(axes), P(axes)), out_specs=P(),
              check_vma=False)
     def run(z_loc, y_loc):
         res = simulate_linear_batch(z_loc, y_loc, alg_flag, eta0, None)
@@ -79,8 +92,7 @@ def sharded_regret_stats(mesh: Mesh, z, y, alg_flag, eta0):
         r = jnp.where(finite, res.regret, 0.0)
         stats = jnp.stack([jnp.sum(finite.astype(r.dtype)), jnp.sum(r),
                            jnp.sum(r * r)])
-        stats = jax.lax.psum(stats, DATA_AXIS)
-        stats = jax.lax.psum(stats, HYPER_AXIS)
+        stats = jax.lax.psum(stats, axes)
         return stats
 
     return run(z, y)
@@ -93,9 +105,11 @@ def sharded_smart_regrets(mesh: Mesh, z, y, theta_thresh, eta0, *,
     theta_thresh / eta0 may be (B,) grids sharded with the batch — a
     hyperparameter sweep rides the same program.
     """
+    axes = _axes(mesh)
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(_BOTH), P(_BOTH), P(_BOTH), P(_BOTH)),
-             out_specs=P(_BOTH), check_vma=False)
+             in_specs=(P(axes), P(axes), P(axes), P(axes)),
+             out_specs=P(axes), check_vma=False)
     def run(z_loc, y_loc, th_loc, eta_loc):
         res = simulate_smart_batch(z_loc, y_loc, th_loc, eta_loc, None,
                                    block_size=block_size)
@@ -125,12 +139,13 @@ def sharded_pallas_regrets(mesh: Mesh, z_pack, y_pack, eta, *,
     assert B % (128 * n) == 0, (B, n)
     per_lane = hasattr(eta, "ndim") and getattr(eta, "ndim", 0) == 2
 
-    z_spec = P(None, None, None, _BOTH)
-    y_spec = P(None, None, _BOTH)
-    in_specs = (z_spec, y_spec) + ((P(None, _BOTH),) if per_lane else ())
+    axes = _axes(mesh)
+    z_spec = P(None, None, None, axes)
+    y_spec = P(None, None, axes)
+    in_specs = (z_spec, y_spec) + ((P(None, axes),) if per_lane else ())
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs,
-             out_specs=P(None, _BOTH), check_vma=False)
+             out_specs=P(None, axes), check_vma=False)
     def run(z_loc, y_loc, *maybe_eta):
         eta_loc = maybe_eta[0] if maybe_eta else eta
         return regrets_fused(z_loc, y_loc, eta_loc, alg_flag=alg_flag,
@@ -151,10 +166,12 @@ def sharded_smart_pallas(mesh: Mesh, z_pack, y_pack, thresh_pack, eta_pack,
     B = y_pack.shape[2]
     assert B % (128 * mesh.size) == 0, (B, mesh.size)
 
+    axes = _axes(mesh)
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, None, None, _BOTH), P(None, None, _BOTH),
-                       P(None, _BOTH), P(None, _BOTH)),
-             out_specs=(P(None, _BOTH), P(None, _BOTH)), check_vma=False)
+             in_specs=(P(None, None, None, axes), P(None, None, axes),
+                       P(None, axes), P(None, axes)),
+             out_specs=(P(None, axes), P(None, axes)), check_vma=False)
     def run(z_loc, y_loc, th_loc, eta_loc):
         return smart_regrets_packed(z_loc, y_loc, th_loc, eta_loc,
                                     interpret=interpret)
@@ -170,8 +187,10 @@ def sharded_quadratic_regrets(mesh: Mesh, z, y, *, alg_flag: int = 1,
     from online_convex_optimization_tpu.models.quadratic import (
         simulate_quadratic_batch)
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(_BOTH), P(_BOTH)),
-             out_specs=P(_BOTH), check_vma=False)
+    axes = _axes(mesh)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axes), P(axes)),
+             out_specs=P(axes), check_vma=False)
     def run(z_loc, y_loc):
         return simulate_quadratic_batch(z_loc, y_loc, alg_flag, eta0).regret
 
@@ -192,12 +211,13 @@ def sharded_stream_step(mesh: Mesh, z_pack, y_pack, eta, t0, carry, *,
 
     B = y_pack.shape[2]
     assert B % (128 * mesh.size) == 0, (B, mesh.size)
-    carry_specs = (P(None, None, _BOTH), P(None, None, _BOTH),
-                   P(None, None, _BOTH))
+    axes = _axes(mesh)
+    carry_specs = (P(None, None, axes), P(None, None, axes),
+                   P(None, None, axes))
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, None, None, _BOTH),
-                       P(None, None, _BOTH)) + carry_specs,
+             in_specs=(P(None, None, None, axes),
+                       P(None, None, axes)) + carry_specs,
              out_specs=carry_specs, check_vma=False)
     def run(z_loc, y_loc, th_loc, w_loc, sc_loc):
         return play_packed_stream(z_loc, y_loc, eta, t0,
@@ -210,7 +230,9 @@ def sharded_stream_step(mesh: Mesh, z_pack, y_pack, eta, t0, carry, *,
 def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
                         blocks_per_device: int, lane_batch: int = 8192,
                         seed0: int = 0, alg_flag: int = 0,
-                        interpret: bool = False, regret_fn=None):
+                        interpret: bool = False, regret_fn=None,
+                        block_offset: int = 0,
+                        total_blocks_per_device: int = 0):
     """Pod-scale empirical-g sweep (BASELINE config 5): millions of
     sequences x a step-size grid, with data GENERATED IN-KERNEL.
 
@@ -237,12 +259,23 @@ def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
     defaults to the Pallas kernel; injectable because the on-core PRNG has
     no CPU lowering — virtual-mesh tests validate the sharding/collective
     logic with a stand-in while the kernel path is TPU-gated.
+
+    ``block_offset`` / ``total_blocks_per_device`` support SLICED sweeps
+    (resumable_synthetic_g): the call evaluates per-device seed blocks
+    [block_offset, block_offset + blocks_per_device) out of a logical
+    total of ``total_blocks_per_device`` (0 = this call is the whole
+    sweep).  Seed ids are dev * total + offset + b, so the union of
+    slices reproduces the uninterrupted sweep's sequence population
+    EXACTLY, block by block.
     """
     if regret_fn is None:
         from online_convex_optimization_tpu.ops.pallas_game import (
             synthetic_regrets)
         regret_fn = synthetic_regrets
 
+    total_bpd = total_blocks_per_device or blocks_per_device
+    if block_offset + blocks_per_device > total_bpd:
+        raise ValueError((block_offset, blocks_per_device, total_bpd))
     etas = jnp.asarray(eta_grid, jnp.float32)
     n_hyper = mesh.shape[HYPER_AXIS]
     if etas.shape[0] % n_hyper:
@@ -252,32 +285,36 @@ def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
     # would wrap to block 0's seed and silently duplicate its sequence
     # population (the kernel itself consumes seed + program*nchunks +
     # chunk, far below 2^20 at supported shapes).
-    total_blocks = mesh.shape[DATA_AXIS] * blocks_per_device
+    total_blocks = mesh.shape[DATA_AXIS] * total_bpd
     if total_blocks > (1 << 12):
         raise ValueError(
             f"data_axis * blocks_per_device = {total_blocks} exceeds the "
             f"4096 disjoint seed blocks available in int32 seed space; "
             f"raise lane_batch instead of the block count")
-    return _synthetic_g_program(mesh, T, blocks_per_device, lane_batch,
-                                seed0, alg_flag, interpret, regret_fn)(etas)
+    prog = _synthetic_g_program(mesh, T, blocks_per_device, total_bpd,
+                                lane_batch, seed0, alg_flag, interpret,
+                                regret_fn)
+    return prog(etas, jnp.int32(block_offset))
 
 
 @functools.lru_cache(maxsize=64)
-def _synthetic_g_program(mesh, T, blocks_per_device, lane_batch, seed0,
-                         alg_flag, interpret, regret_fn):
+def _synthetic_g_program(mesh, T, blocks_per_device, total_bpd, lane_batch,
+                         seed0, alg_flag, interpret, regret_fn):
     # Cached per static config: a fresh shard_map closure per call would
-    # retrace (and remote-recompile) every invocation.
+    # retrace (and remote-recompile) every invocation.  block_offset is a
+    # DYNAMIC operand so every slice of a resumable sweep shares this one
+    # compile.
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=(P(HYPER_AXIS),),
+    @partial(shard_map, mesh=mesh, in_specs=(P(HYPER_AXIS), P()),
              out_specs=P(HYPER_AXIS), check_vma=False)
-    def run(etas_loc):
+    def run(etas_loc, offset):
         dev = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
 
         def per_eta(eta):
             def body(b, acc):
                 # Disjoint seed blocks: the kernel consumes
                 # seed + program_id * nchunks + chunk, far below 2^20.
-                seed = seed0 + ((dev * blocks_per_device + b) << 20)
+                seed = seed0 + ((dev * total_bpd + offset + b) << 20)
                 r = regret_fn(seed, eta, T=T, lane_batch=lane_batch,
                               alg_flag=alg_flag, interpret=interpret)
                 return jnp.maximum(acc, jnp.max(r))
@@ -289,6 +326,50 @@ def _synthetic_g_program(mesh, T, blocks_per_device, lane_batch, seed0,
         return jax.lax.pmax(g_loc, DATA_AXIS)
 
     return run
+
+
+def resumable_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
+                          blocks_per_device: int, blocks_per_step: int,
+                          checkpoint_path: Optional[str] = None,
+                          lane_batch: int = 8192, seed0: int = 0,
+                          alg_flag: int = 0, interpret: bool = False,
+                          regret_fn=None):
+    """Preemption-safe g sweep (VERDICT r4 task 7; SURVEY §5 "failure
+    detection / elastic recovery").
+
+    The per-device seed blocks are processed in slices of
+    ``blocks_per_step``; after each slice the running per-eta max and the
+    completed-block count are checkpointed (utils.checkpointing).  A
+    preempted host restarts with the same arguments and resumes from the
+    last completed slice; because slice seeds are the SAME global block
+    ids the uninterrupted sweep uses and max is exact, the resumed result
+    is BIT-EQUAL to the uninterrupted ``sharded_synthetic_g`` — tested in
+    tests/test_preemption.py by killing a sweep mid-flight.
+
+    Returns (len(eta_grid),) worst-case regrets as float32.
+    """
+    from online_convex_optimization_tpu.utils import checkpointing as ckpt
+
+    etas = np.asarray(eta_grid, np.float32)
+    g = np.full(etas.shape, -np.inf, np.float32)
+    done = 0
+    state_like = {"g": g, "done": np.asarray(0)}
+    if checkpoint_path and ckpt.exists(checkpoint_path):
+        st = ckpt.load_pytree(checkpoint_path, state_like)
+        g, done = np.asarray(st["g"], np.float32), int(st["done"])
+    while done < blocks_per_device:
+        step = min(blocks_per_step, blocks_per_device - done)
+        g_slice = sharded_synthetic_g(
+            mesh, T=T, eta_grid=eta_grid, blocks_per_device=step,
+            total_blocks_per_device=blocks_per_device, block_offset=done,
+            lane_batch=lane_batch, seed0=seed0, alg_flag=alg_flag,
+            interpret=interpret, regret_fn=regret_fn)
+        g = np.maximum(g, np.asarray(g_slice, np.float32))
+        done += step
+        if checkpoint_path:
+            ckpt.save_pytree(checkpoint_path,
+                             {"g": g, "done": np.asarray(done)})
+    return g
 
 
 def mean_and_ci(stats, z_value: float = 1.96):
