@@ -117,14 +117,18 @@ def evaluate_stream_golden(
             for k, v in curves.items()}
 
 
-@jax.jit
 def _eval_chunk_on_device(zd, yd, lend, th_theory, th_emp, eta0):
     """All four algorithms on one uploaded chunk: FTRL+FTL ride one
     flag-vector linear scan, SMART(theory)+SMART(emp) one threshold-
-    vector SMART scan; the [chunk, chunk] duplication is an on-device
-    concatenate, so the chunk's (z, y) bytes cross the relay once
-    instead of four times.  Scan arithmetic identical to the separate
-    calls (the per-sequence programs don't interact)."""
+    vector SMART scan; the [chunk, chunk] duplication happens ON DEVICE
+    (eager concatenates), so the chunk's (z, y) bytes cross the relay
+    once instead of four times.
+
+    BIT-IDENTITY: the two simulators are invoked as the SAME two jitted
+    programs the pre-r5 loop compiled (not merged into one jit — a
+    merged program fuses differently and perturbs f32 reduction order by
+    ~1 ulp, measured).  Identical programs on identical operand bits =>
+    identical statistics; only the transfer path changed."""
     import jax.numpy as jnp
 
     n = zd.shape[0]
@@ -251,6 +255,14 @@ def evaluate_stream_with_stats(
     return stats
 
 
+# SSN Newton-step budget (first attempt; escalation doubles it).  The
+# measured envelope: converged prefixes take 27-49 steps; rows still
+# uncertified at 80 essentially never certify with more steps (cert
+# frac 0.982 at 80 vs 0.985 at 2000 on the hard probe batch) and ride
+# the escalation/sentinel contract instead.
+_SSN_NEWTON_BUDGET = 80
+
+
 @functools.lru_cache(maxsize=16)
 def _band_programs(T_max: int, norm: str, iters: int,
                    admm_precision: str, use_ssn: bool, ssn_f64: bool):
@@ -288,11 +300,20 @@ def _band_programs(T_max: int, norm: str, iters: int,
         # available (accuracy-first); f32 uses the compensated multi-
         # candidate certificate (comp mode), which is what makes the
         # method production-usable on TPU at all.
+        #
+        # BUDGET: Newton steps, NOT ADMM iterations.  Round 4 passed the
+        # ADMM's 2000 here, so the ~1.5% never-certifying rows of a hard
+        # band ran 2000 Newton steps with the compensated certificate
+        # every 10 — 200 certificate evaluations instead of 8.  THAT was
+        # the measured "31x certificate wall" (34.8 s vs 1.87 s for the
+        # same solves at the 80-step envelope, ssn_cert_decomp_* records;
+        # converged solves take 27-49 steps and stragglers ride the
+        # escalation contract, which continues from saved state).
         from online_convex_optimization_tpu.models.ssn import (
             ssn_all_prefixes)
         sdt = jnp.float64 if ssn_f64 else jnp.float32
 
-        def _band(z1, y1, lo, st=None, budget=2000):
+        def _band(z1, y1, lo, st=None, budget=_SSN_NEWTON_BUDGET):
             return ssn_all_prefixes(z1.astype(sdt), y1.astype(sdt),
                                     iters=budget, tol=2e-4,
                                     state0=st, band_lo=lo,
@@ -317,9 +338,10 @@ def _band_programs(T_max: int, norm: str, iters: int,
     # ceiling) — the iteration is Markov in the state, so nothing is
     # redone.  Recovers would-be-dropped replicates instead of
     # sentineling them.
+    hard_budget = 2 * _SSN_NEWTON_BUDGET if use_ssn else 3 * iters
     prefix_solve_hard = jax.jit(jax.vmap(
         lambda zz, yy, st, lo: _band(zz, yy, lo, st=st,
-                                     budget=3 * iters),
+                                     budget=hard_budget),
         in_axes=(0, 0, 0, None)))
     return prefix_solve, prefix_solve_hard, band_los
 
@@ -382,10 +404,10 @@ def evaluate_stream_exact(
     per prefix by the optimality certificate (max_i |<z_i, x*_t>| <= 1),
     so the device solve and the polish vanish entirely; uncertified
     cells split by WHY they failed: out-of-contract data (rows outside
-    the unit ball, l2) goes to the semismooth-Newton band solver where
-    x64 is available (models/ssn.py, 8.4x the ADMM on CPU f64); on
-    f32/TPU it stays on the banded ADMM — the compensated f32 SSN
-    certificate is sound but costs 31x the warm ADMM on chip (see
+    the unit ball, l2) goes to the semismooth-Newton band solver in
+    both regimes (models/ssn.py — 8.4x the ADMM on CPU f64; 1.26x the
+    warm ADMM on f32/TPU with the compensated certificate at the
+    80-step Newton budget, certifying 98.1% vs the ADMM's 92.0%; see
     docs/BENCHMARKS.md) — and in-contract selection-degenerate cells
     (the deterministic w=0 families) stay on the banded lax.map XLA
     ADMM either way, whose committed artifact statistics are
@@ -496,20 +518,22 @@ def evaluate_stream_exact(
 
     # 'auto' escalation of OUT-OF-CONTRACT cells (rows outside the unit
     # ball — general user data, the reference's own smoke-test regime)
-    # to the semismooth-Newton solver — but ONLY where f64 is available:
-    # there the SSN takes ~20-60 Newton steps where the ADMM takes
-    # 1.8-2.2k iterations (8.4x measured, CPU f64 T=512).  On f32/TPU
-    # the balance inverts: the compensated multi-candidate certificate
-    # that makes f32 SSN *certifiable* (98.5% at 2e-4, T=1024) costs
-    # 31x the warm banded ADMM's wall on chip (34.8 vs 1.1 s, B=8 —
-    # scripts/ssn_onchip_probe.py, BENCH_DETAILS ssn_f32_*), so 'auto'
-    # keeps OOC cells on the ADMM there and SSN stays an explicit
-    # --exact-solver ssn choice.  In-contract uncertified cells (the
-    # deterministic w=0 families) DELIBERATELY stay on the ADMM either
-    # way: their minimizer sets are selection-degenerate and the
-    # committed artifact statistics are bitwise-pinned to that path.
-    auto_ssn = (solver == "auto" and norm == "l2" and not use_kernel
-                and ssn_f64)
+    # to the semismooth-Newton solver, in BOTH precision regimes:
+    #   - f64: ~20-60 Newton steps vs the ADMM's 1.8-2.2k iterations
+    #     (8.4x measured, CPU f64 T=512);
+    #   - f32/TPU: the compensated multi-candidate certificate makes the
+    #     solves certifiable (98.1% at 2e-4 vs the ADMM's 92.0% on the
+    #     hard probe batch) at 1.26x the warm ADMM wall (1.42 vs 1.13 s,
+    #     T=1024/B=8, scripts/ssn_onchip_probe.py).  Round 4 measured
+    #     this path at 31x and kept the ADMM — that wall was a BUDGET
+    #     BUG (the ADMM's iters=2000 passed as a Newton budget, burning
+    #     200 certificate evaluations on never-certifying rows; see
+    #     _SSN_NEWTON_BUDGET), not certificate cost.
+    # In-contract uncertified cells (the deterministic w=0 families)
+    # DELIBERATELY stay on the ADMM: their minimizer sets are selection-
+    # degenerate and the committed artifact statistics are bitwise-
+    # pinned to that path.
+    auto_ssn = solver == "auto" and norm == "l2" and not use_kernel
 
     def _general_programs(z_cell, T):
         if auto_ssn and bool(np.any(

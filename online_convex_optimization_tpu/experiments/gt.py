@@ -125,13 +125,47 @@ def estimate_g(
         except ImportError:
             pass
 
+    # ---- pipelined sweep (VERDICT r4 task 3, applied to g too) ----
+    # The per-(T, chunk) work used to serialize host PCG64 generation ->
+    # host->device transfer (~10 MB/s relay) -> device scan -> fetch.
+    # Now the NEXT work item's generation + async device_put overlap the
+    # current item's device scan; values are bit-identical (same per-
+    # chunk simulate_linear_batch program on the same bits, same max
+    # accumulation order, same 0.0 max baseline as _g_for_T).
+    import jax
+
     T_pad = max(int(t) for t in T_grid)
-    for T in iterator:
-        g[T] = _g_for_T(T, runs, base_seed, eta0, dtype, chunk, check,
-                        T_pad=T_pad)
-        if cache_path:
-            _save_g_cache(cache_path, g, meta_key,
-                          {"chunk": int(chunk), "check": bool(check)})
+    sim = (checked(lambda zz, yy: simulate_linear_batch(zz, yy, 0, eta0))
+           if check else (lambda zz, yy: simulate_linear_batch(zz, yy, 0,
+                                                               eta0)))
+    items = [(T, start, min(chunk, runs - start))
+             for T in todo for start in range(0, runs, chunk)]
+
+    def _prep(item):
+        T, start, n = item
+        z = np.zeros((n, T_pad, 5), dtype=dtype)
+        y = np.zeros((n, T_pad), dtype=dtype)
+        for i in range(n):
+            z[i, :T], y[i, :T] = sample_g_instance(base_seed, T, start + i,
+                                                   dtype=dtype)
+        return jax.device_put(z), jax.device_put(y)
+
+    done_iter = iter(iterator)  # drive the tqdm bar as horizons finish
+    partial: Dict[int, float] = {}
+    pending = _prep(items[0]) if items else None
+    for i, (T, start, n) in enumerate(items):
+        zd, yd = pending
+        res = sim(zd, yd)                      # async dispatch
+        if i + 1 < len(items):
+            pending = _prep(items[i + 1])      # overlaps the device scan
+        m = float(np.max(np.asarray(res.regret)))
+        partial[T] = max(partial.get(T, 0.0), m)
+        if start + n >= runs:                  # horizon complete
+            g[T] = partial.pop(T)
+            next(done_iter, None)
+            if cache_path:
+                _save_g_cache(cache_path, g, meta_key,
+                              {"chunk": int(chunk), "check": bool(check)})
 
     return {int(t): g[int(t)] for t in T_grid}
 

@@ -267,13 +267,13 @@ def test_evaluate_stream_exact_auto_routes_ooc_to_ssn():
                                    atol=0)
 
 
-def test_auto_keeps_admm_for_ooc_without_x64():
-    """Without x64 (the TPU backend's regime) 'auto' must NOT route
-    out-of-contract cells to the SSN: the f32 compensated certificate is
-    what makes f32 SSN sound, but it costs 31x the warm banded ADMM on
-    chip (scripts/ssn_onchip_probe.py, BENCH_DETAILS ssn_f32_*), so the
-    ADMM stays the f32 production path and SSN remains an explicit
-    --exact-solver choice."""
+def test_auto_routes_ooc_to_ssn_without_x64():
+    """'auto' routes out-of-contract cells to the SSN in the f32 regime
+    too (r5): the round-4 'certificate costs 31x' measurement was a
+    budget bug (the ADMM's iters=2000 passed as a NEWTON budget —
+    evaluate._SSN_NEWTON_BUDGET); at the measured 80-step envelope the
+    f32 SSN runs 1.26x the warm ADMM while certifying 98.1% vs 92.0%
+    (scripts/ssn_onchip_probe.py, BENCH_DETAILS ssn_f32_*)."""
     import jax
 
     import online_convex_optimization_tpu.models.ssn as ssn_mod
@@ -309,5 +309,5 @@ def test_auto_keeps_admm_for_ooc_without_x64():
         jax.config.update("jax_enable_x64", prev_x64)
         ssn_mod.ssn_all_prefixes = orig
         ev._band_programs.cache_clear()
-    assert calls["n"] == 0, "auto routed OOC cells to SSN without x64"
-    assert audit["cells_ssn"] == 0 and audit["cells_admm"] > 0, audit
+    assert calls["n"] > 0, "auto failed to route OOC cells to f32 SSN"
+    assert audit["cells_ssn"] > 0 and audit["cells_admm"] == 0, audit
