@@ -74,8 +74,9 @@ def d_envelope(args):
                 eta = np.float32(np.sqrt(2.0)) * (
                     1.0 + 1e-6 * i.astype(jnp.float32))
                 return acc + regrets_fused(z, y, eta, alg_flag=0)
-            return jax.lax.fori_loop(0, k, body,
-                                     jnp.zeros((S, LB), jnp.float32))
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((S, LB),
+                                                       jnp.float32)))
 
         try:
             secs = _fetch_time(lambda: run_fused(zd, yd, k=K)) / K
@@ -153,8 +154,9 @@ def d_envelope_big(args):
                         1.0 + 1e-6 * i.astype(jnp.float32))
                     return acc + regrets_fused(z, y, eta, alg_flag=0,
                                                state=state)
-                return jax.lax.fori_loop(0, k, body,
-                                         jnp.zeros((S, LB), jnp.float32))
+                return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                                 jnp.zeros((S, LB),
+                                                           jnp.float32)))
 
             secs = _fetch_time(lambda: run_fused(zd, yd, k=K,
                                                  state=state)) / K
@@ -240,7 +242,15 @@ def main():
         from online_convex_optimization_tpu.ops.pallas_smart import (
             smart_regrets_packed)
 
-        T, LB, K = 1024, 16384, 8
+        # Scalar fences (r5): fetching the (S, LB) f32 result tile
+        # (1 MB at ~10 MB/s) inside the timed window was burying ~half
+        # the kernel time in relay transfer (see bench.py's methodology
+        # re-pin); every kernel wrapper now reduces to a scalar on
+        # device — the sum depends on every result, so the fetch still
+        # forces full completion while moving 4 bytes.  K=64 chained
+        # launches (bench.py's headline uses 256; 64 keeps the suite's
+        # wall reasonable and measures ~94% of the K=256 plateau).
+        T, LB, K = 1024, 16384, 64
         zd, yd = random_packed_batch(jax.random.key(0), T, LB,
                                      dtype=jnp.bfloat16)
         S = zd.shape[2]
@@ -254,13 +264,15 @@ def main():
                     1.0 + 1e-6 * i.astype(jnp.float32))
                 return acc + regrets_fused(z, y, eta, alg_flag=0,
                                            lanes_per_program=256, unroll=8)
-            return jax.lax.fori_loop(0, k, body,
-                                     jnp.zeros((S, LB), jnp.float32))
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((S, LB),
+                                                       jnp.float32)))
 
         secs = _fetch_time(lambda: run_fused(zd, yd, k=K)) / K
         records.append({"metric": "pallas_fused_steps_per_s",
                         "value": S * LB * T / secs, "unit": "steps/s",
-                        "note": "bf16 single-pass, identity comparator"})
+                        "note": "bf16 single-pass, identity comparator, "
+                                "scalar fence K=64"})
 
         # Legacy two-part path (kernel + XLA comparator epilogue), f32.
         zf, yf = random_packed_batch(jax.random.key(2), T, LB)
@@ -270,8 +282,9 @@ def main():
             def body(i, acc):
                 sc = scales * (1.0 + 1e-6 * i.astype(jnp.float32))
                 return acc + regrets_packed(z, y, sc, alg_flag=0)
-            return jax.lax.fori_loop(0, k, body,
-                                     jnp.zeros((8, LB), jnp.float32))
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((8, LB),
+                                                       jnp.float32)))
 
         secs = _fetch_time(lambda: run_v2(zf, yf, k=K)) / K
         records.append({"metric": "pallas_v2_steps_per_s",
@@ -290,8 +303,9 @@ def main():
                     z, y, th, et * (1.0 + 1e-6 * i.astype(jnp.float32)),
                     lanes_per_program=128, unroll=8)
                 return acc + r
-            return jax.lax.fori_loop(0, k, body,
-                                     jnp.zeros((S, LB), jnp.float32))
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((S, LB),
+                                                       jnp.float32)))
 
         secs = _fetch_time(lambda: run_smart(zd, yd, th, et, k=K)) / K
         records.append({"metric": "pallas_smart_steps_per_s",
@@ -306,8 +320,9 @@ def main():
                 return acc + synthetic_regrets(
                     i, eta * (1.0 + 1e-6 * i.astype(jnp.float32)),
                     T=T, lane_batch=LB)
-            return jax.lax.fori_loop(0, k, body,
-                                     jnp.zeros((8, LB), jnp.float32))
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((8, LB),
+                                                       jnp.float32)))
 
         secs = _fetch_time(lambda: run_syn(jnp.float32(np.sqrt(2.0)),
                                            k=K)) / K
@@ -324,7 +339,9 @@ def main():
                                      dtype=jnp.bfloat16)
         Ss = zs.shape[2]
         grid64 = jnp.asarray(np.linspace(0.05, 4.0, 64, dtype=np.float32))
-        secs = _fetch_time(lambda: eta_sweep_packed(zs, ys, grid64))
+        sweep_sum = jax.jit(
+            lambda z, y, g: jnp.sum(eta_sweep_packed(z, y, g)))
+        secs = _fetch_time(lambda: sweep_sum(zs, ys, grid64))
         records.append({"metric": "pallas_eta_sweep64_seqsteps_per_s",
                         "value": 64 * Ss * LBs * T / secs,
                         "unit": "seq*steps/s",
@@ -431,9 +448,10 @@ def main():
                     z, y, np.float32(np.sqrt(2.0)),
                     i.astype(jnp.float32) * T, c,
                     lanes_per_program=256, unroll=8)
-            return jax.lax.fori_loop(0, k, body, carry0)
+            c = jax.lax.fori_loop(0, k, body, carry0)
+            return jnp.sum(c[2])
 
-        secs = _fetch_time(lambda: run_stream_k(zd, yd, k=K)[2]) / K
+        secs = _fetch_time(lambda: run_stream_k(zd, yd, k=K)) / K
         records.append({"metric": "stream_kernel_chained_steps_per_s",
                         "value": S * LB * T / secs, "unit": "steps/s",
                         "note": "carry-in/carry-out kernel, K advances "

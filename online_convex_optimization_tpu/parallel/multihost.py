@@ -26,7 +26,8 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
                seed: int = 0, coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
-               n_hyper: int = 1, bench_reps: int = 0) -> dict:
+               n_hyper: int = 1, bench_reps: int = 0,
+               host_axis: bool = False) -> dict:
     """Run one host's share of a global FTRL regret sweep; returns the
     globally reduced statistics (identical on every host).
 
@@ -35,7 +36,14 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
     column evaluates its own eta (eta0 scaled by a per-column factor), data
     collectives reduce within each column, and the per-eta results return
     sharded over the hyper axis — the pod-scale shape of a learning-rate
-    sweep."""
+    sweep.
+
+    ``host_axis=True`` (VERDICT r4 task 7) makes the PROCESS boundary an
+    explicit leading mesh axis: devices reshape to (n_host, n_data,
+    n_hyper) with each process's local devices forming one host row, and
+    the sweep reduces over (host, data) — the per-host psum/pmax rides
+    gloo/DCN across processes while the intra-host reduction stays local,
+    exactly the collective layout of a real multi-host pod."""
     import jax
 
     if num_processes is not None and num_processes > 1:
@@ -58,28 +66,46 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
     if n_global % n_hyper:
         raise ValueError(f"n_hyper={n_hyper} must divide {n_global}")
     n_data = n_global // n_hyper
-    mesh = Mesh(np.asarray(jax.devices()).reshape(n_data, n_hyper),
-                ("data", "hyper"))
     eta_grid = jnp.asarray(
         eta0 * np.linspace(1.0, 2.0, n_hyper, dtype=np.float32))
 
     # Per-device scenario shards from independent keys (split globally so
-    # every device's stream is distinct and reproducible).
+    # every device's stream is distinct and reproducible).  The key ->
+    # device assignment is the flat jax.devices() order in BOTH mesh
+    # layouts, so host_axis only changes the collective structure, not
+    # the data — solo and multi-host runs stay comparable.
     keys = jax.random.split(jax.random.key(seed), n_global)
-    keys = keys.reshape(n_data, n_hyper)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P("data", "hyper"),
+    if host_axis:
+        n_host = num_processes if (num_processes or 0) > 1 else 1
+        if n_data % n_host:
+            raise ValueError(f"host axis {n_host} must divide data axis "
+                             f"{n_data}")
+        mesh = Mesh(np.asarray(jax.devices()).reshape(
+            n_host, n_data // n_host, n_hyper), ("host", "data", "hyper"))
+        keys = keys.reshape(n_host, n_data // n_host, n_hyper)
+        key_spec = P("host", "data", "hyper")
+        reduce_axes = ("host", "data")
+    else:
+        mesh = Mesh(np.asarray(jax.devices()).reshape(n_data, n_hyper),
+                    ("data", "hyper"))
+        keys = keys.reshape(n_data, n_hyper)
+        key_spec = P("data", "hyper")
+        reduce_axes = ("data",)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=key_spec,
              out_specs=(P("hyper"), P("hyper")), check_vma=False)
     def sweep(key_shard):
-        z, y = random_game_batch(key_shard[0, 0], per_device_batch, T)
+        key0 = key_shard.reshape(-1)[0]
+        z, y = random_game_batch(key0, per_device_batch, T)
         eta = eta_grid[jax.lax.axis_index("hyper")]
         res = simulate_linear_batch(z, y, 0, eta)
         r = res.regret
-        # Reduce over the data axis only: one result per eta column.
-        g_max = jax.lax.pmax(jnp.max(r), "data")
+        # Reduce over every non-hyper axis: one result per eta column.
+        g_max = jax.lax.pmax(jnp.max(r), reduce_axes)
         stats = jax.lax.psum(
             jnp.stack([jnp.asarray(r.size, r.dtype), jnp.sum(r),
-                       jnp.sum(r * r)]), "data")
+                       jnp.sum(r * r)]), reduce_axes)
         return g_max[None], stats[None]
 
     jitted = jax.jit(sweep)
@@ -94,7 +120,9 @@ def run_worker(T: int, per_device_batch: int, *, eta0: float,
         "process_id": process_id or 0,
         "n_global_devices": n_global,
         "n_local_devices": n_local,
-        "mesh": [n_data, n_hyper],
+        "mesh": (list(mesh.devices.shape) if host_axis
+                 else [n_data, n_hyper]),
+        "axes": list(mesh.axis_names),
         "total_scenarios": int(n.sum()),
         "g_max_by_eta": [float(v) for v in g_max],
         "mean_by_eta": [float(v) for v in mean],
@@ -218,6 +246,9 @@ def main(argv=None):
                    help="size of the hyperparameter mesh axis")
     p.add_argument("--bench-reps", type=int, default=0,
                    help="time the sweep this many times (0 = off)")
+    p.add_argument("--host-axis", action="store_true",
+                   help="3-axis (host, data, hyper) mesh with the "
+                        "process boundary as the leading axis")
     p.add_argument("--mode", choices=["sweep", "stream-handoff"],
                    default="sweep")
     p.add_argument("--chunks", type=int, default=8)
@@ -235,7 +266,8 @@ def main(argv=None):
                          seed=args.seed, coordinator=args.coordinator,
                          num_processes=args.num_processes,
                          process_id=args.process_id, n_hyper=args.hyper,
-                         bench_reps=args.bench_reps)
+                         bench_reps=args.bench_reps,
+                         host_axis=args.host_axis)
     print(json.dumps(out))
 
 
