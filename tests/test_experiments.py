@@ -285,3 +285,46 @@ def test_exact_audit_counts(tmp_path):
                           audit_out=audit2, stream_name="audit-ooc")
     assert audit2["cells"] == 1 and audit2["cells_ssn"] == 1
     assert audit2["cells_certified"] == 0
+
+
+def test_eval_chunk_program_matches_host_concat_formulation():
+    """The r5 transfer path (single upload + on-device duplication) must
+    be arithmetically IDENTICAL to the pre-r5 host-concatenate loop: the
+    chunk program invokes the same two jitted simulators, so outputs are
+    bit-equal.  (Merging both sims into one jit was measured to drift
+    f32 reduction order ~1 ulp on TPU and is forbidden — this test pins
+    the formulation.)"""
+    import jax
+    import numpy as np
+
+    from online_convex_optimization_tpu.experiments.evaluate import (
+        _eval_chunk_on_device)
+    from online_convex_optimization_tpu.models.linear import (
+        simulate_linear_batch)
+    from online_convex_optimization_tpu.models.smart import (
+        simulate_smart_batch)
+
+    rng = np.random.default_rng(8)
+    n, T = 24, 40
+    z = rng.normal(size=(n, T, 5)).astype(np.float64)
+    z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
+    y = np.where(rng.random((n, T)) < 0.5, -1.0, 1.0)
+    lengths = rng.integers(10, T + 1, size=n)
+    th_theory = np.sqrt(2.0 * lengths).astype(np.float64)
+    th_emp = rng.uniform(1.0, 4.0, size=n)
+    eta0 = float(np.sqrt(2.0))
+
+    lin_new, sm_new = _eval_chunk_on_device(
+        jax.device_put(z), jax.device_put(y), jax.device_put(lengths),
+        jax.device_put(th_theory), jax.device_put(th_emp), eta0)
+
+    z2 = np.concatenate([z, z])
+    y2 = np.concatenate([y, y])
+    len2 = np.concatenate([lengths, lengths])
+    flags = np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
+    lin_old = simulate_linear_batch(z2, y2, flags, eta0, len2).regret
+    th2 = np.concatenate([th_theory, th_emp])
+    sm_old = simulate_smart_batch(z2, y2, th2, eta0, len2).regret
+
+    np.testing.assert_array_equal(np.asarray(lin_new), np.asarray(lin_old))
+    np.testing.assert_array_equal(np.asarray(sm_new), np.asarray(sm_old))
