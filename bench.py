@@ -70,8 +70,13 @@ def _bench_tpu():
         def body(i, acc):
             eta = np.float32(np.sqrt(2.0)) * (
                 1.0 + 1e-6 * i.astype(jnp.float32))
+            # lanes=128/unroll=16: +6.9% vs the historical 256/8
+            # (5.57e10 vs 5.21e10, interleaved best-of-4 at K=256) —
+            # resolvable only under the r5 scalar fence; the old
+            # "levers neutral" finding was fetch-noise (BENCH_DETAILS
+            # fused_lever_* records).
             return acc + regrets_fused(z, y, eta, alg_flag=0,
-                                       lanes_per_program=256, unroll=8)
+                                       lanes_per_program=128, unroll=16)
         acc = jax.lax.fori_loop(0, k, body,
                                 jnp.zeros((S, LB), jnp.float32))
         # Scalar fence: the sum depends on every regret, so fetching it

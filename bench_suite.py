@@ -263,7 +263,8 @@ def main():
                 eta = np.float32(np.sqrt(2.0)) * (
                     1.0 + 1e-6 * i.astype(jnp.float32))
                 return acc + regrets_fused(z, y, eta, alg_flag=0,
-                                           lanes_per_program=256, unroll=8)
+                                           lanes_per_program=128,
+                                           unroll=16)
             return jnp.sum(jax.lax.fori_loop(0, k, body,
                                              jnp.zeros((S, LB),
                                                        jnp.float32)))
