@@ -394,7 +394,7 @@ def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
 def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
                 *, alg_flag: int = 0, chunk_t: int = 256, unroll: int = 4,
                 lanes_per_program: int = 4 * LANES, interpret: bool = False,
-                state: str = "auto", d_block: int = 8):
+                state: str = "auto", d_block: int = 32):
     """Run the online game on packed inputs.
 
     Args:
@@ -783,7 +783,7 @@ def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
                   chunk_t: int = 256, unroll: int = 4,
                   lanes_per_program: int = 4 * LANES,
                   interpret: bool = False, dense: bool = False,
-                  state: str = "auto", d_block: int = 8):
+                  state: str = "auto", d_block: int = 32):
     """Fully fused regret evaluation: game + identity-based comparator in
     ONE single-pass kernel — the headline throughput path (see
     _regret_kernel for the op-level design).  Requires the framework data
