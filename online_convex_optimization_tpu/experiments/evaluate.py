@@ -311,13 +311,16 @@ def _band_programs(T_max: int, norm: str, iters: int,
         # escalation contract, which continues from saved state).
         from online_convex_optimization_tpu.models.ssn import (
             ssn_all_prefixes)
-        sdt = jnp.float64 if ssn_f64 else jnp.float32
+        # linf SSN is x64-only (the compensated f32 certificate is
+        # l2-tuned); ssn_all_prefixes raises on f32+linf, so force f64
+        # for non-l2 regardless of the ambient flag.
+        sdt = jnp.float64 if (ssn_f64 or norm != "l2") else jnp.float32
 
         def _band(z1, y1, lo, st=None, budget=_SSN_NEWTON_BUDGET):
             return ssn_all_prefixes(z1.astype(sdt), y1.astype(sdt),
                                     iters=budget, tol=2e-4,
                                     state0=st, band_lo=lo,
-                                    band_rows=band_rows)
+                                    band_rows=band_rows, norm=norm)
     else:
         def _band(z1, y1, lo, st=None, budget=None):
             return _admm_all_prefixes(
@@ -486,7 +489,17 @@ def evaluate_stream_exact(
         raise ValueError("solver='kernel' supports norm='l2' with "
                          "float32 data only")
     if use_ssn and norm != "l2":
-        raise ValueError("solver='ssn' supports norm='l2' only")
+        # MEASURED (r5): the linf SSN (models/ssn.py norm='linf') reaches
+        # LP-grade optima but certifies only ~96.6% of prefixes at the
+        # production 2e-4 gap bar vs the banded ADMM's 99.7% on the same
+        # instances (degenerate small-prefix faces keep rigorous gaps in
+        # the e-3 range), so the PIPELINE keeps the ADMM for linf —
+        # routing ssn here would drop replicates the ADMM certifies.
+        # The capability remains available at the model surface:
+        # ExactFTL(method='ssn', norm='linf') under x64.
+        raise ValueError("solver='ssn' supports norm='l2' only in the "
+                         "pipeline (linf SSN: use ExactFTL(method='ssn', "
+                         "norm='linf'); see docs/BENCHMARKS.md)")
     # SSN dtype: f64 when available (accuracy-first); without x64 (the
     # TPU backend) the f32 compensated multi-candidate certificate
     # (models/ssn.py comp mode) carries the rigorous duality gap — rows

@@ -373,7 +373,7 @@ class ExactFTL:
     #   per prefix by the optimality certificate, never assumed.  Set
     #   False to force the general ADMM path (solver validation tests do).
     method: str = "admm"  # general-path solver: "admm" (all norms) or
-    #   "ssn" (l2 only) — Huber-continuation semismooth Newton
+    #   "ssn" (l2/linf) — Huber-continuation semismooth Newton
     #   (models/ssn.py), ~20-60 Newton steps where the ADMM takes
     #   1.8-2.2k iterations on hard out-of-contract instances.  Both feed
     #   the same active-set polish; ``iters`` caps Newton steps for ssn
@@ -382,8 +382,13 @@ class ExactFTL:
     def __post_init__(self):
         if self.method not in ("admm", "ssn"):
             raise ValueError(f"unknown method {self.method!r}")
-        if self.method == "ssn" and self.norm != "l2":
-            raise ValueError("method='ssn' supports norm='l2' only")
+        if self.method == "ssn" and self.norm not in ("l2", "linf"):
+            # l1 stays ADMM-only by design: on contract data the l1
+            # closed-form certificate covers every cell a priori
+            # (models/linear_regime.py), so the general-solver demand is
+            # minimal and the box-subproblem machinery does not apply to
+            # the l1 ball's face geometry.
+            raise ValueError("method='ssn' supports norm in {'l2','linf'}")
         self._z_buf = np.zeros((self.T_max, self.d))
         self._y_buf = np.zeros(self.T_max)
         self._length = 0
@@ -404,16 +409,19 @@ class ExactFTL:
             iters = max(iters, 2000)
             from online_convex_optimization_tpu.models.ssn import (
                 ssn_all_prefixes)
-            if jax.default_backend() != "tpu":
+            if jax.default_backend() != "tpu" or self.norm != "l2":
                 # f64 available: strictly better (100% certified, no
                 # certificate overhead).  Force x64 regardless of the
                 # ambient flag; the f32 input VALUES are preserved.
+                # (linf always takes this branch — its f32 certificate
+                # machinery does not exist; ssn_all_prefixes raises.)
                 with jax.enable_x64():
                     return ssn_all_prefixes(
                         jnp.asarray(np.asarray(z, np.float64)),
                         jnp.asarray(np.asarray(y, np.float64)),
                         iters=iters, tol=max(self.stop_tol, 1e-6),
-                        state0=state0, band_lo=lo, band_rows=rows)
+                        state0=state0, band_lo=lo, band_rows=rows,
+                        norm=self.norm)
             # TPU: f32 with the compensated multi-candidate duality-gap
             # certificate (models/ssn.py comp mode; 99%+ of hard-instance
             # prefixes certified at 2e-4 — measured).  The looser tol
@@ -437,13 +445,13 @@ class ExactFTL:
         if self.method == "ssn":
             iters = max(iters, 2000)  # see _band_solve: slow-tail cover
             from online_convex_optimization_tpu.models.ssn import ssn_full
-            if jax.default_backend() != "tpu":
+            if jax.default_backend() != "tpu" or self.norm != "l2":
                 with jax.enable_x64():  # see _band_solve: f64 preferred
                     return ssn_full(
                         jnp.asarray(np.asarray(z, np.float64)),
                         jnp.asarray(np.asarray(y, np.float64)),
                         iters=iters, tol=max(self.stop_tol, 1e-6),
-                        state0=state0)
+                        state0=state0, norm=self.norm)
             return ssn_full(jnp.asarray(np.asarray(z, np.float32)),
                             jnp.asarray(np.asarray(y, np.float32)),
                             iters=iters, tol=max(self.stop_tol, 2e-4),

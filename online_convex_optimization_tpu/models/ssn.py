@@ -1,10 +1,15 @@
-"""Semismooth Newton (Huber continuation) exact-FTL solver, l2 ball.
+"""Semismooth Newton (Huber continuation) exact-FTL solver, l2/linf balls.
 
 The general-path alternative to the batched ADMM in models/exact_ftl.py
 for data OUTSIDE the certified linear regime (models/linear_regime.py).
 The ADMM's iteration count on the nonsmooth program
 
-    minimize_{||x||_2 <= 1}  f(x) = 0.5 * sum_i m_i |<z_i, x> - y_i|
+    minimize_{||x|| <= 1}  f(x) = 0.5 * sum_i m_i |<z_i, x> - y_i|
+
+(l2 ball by default; the linf ball swaps the More-Sorensen ball-TRS
+model subproblem for a projected-Newton box solve with masked-identity
+reduced systems and the dual penalty ||Z^T u||_2 for ||Z^T u||_1 —
+see _box_newton_step; f64 only)
 
 grows with T (~1.8-2.2k iterations to 2e-4 at T = 1000 — measured, see
 docs/BENCHMARKS.md), and rho schedules / acceleration / MXU precision
@@ -252,7 +257,202 @@ def _ball_newton_step(H, b, d: int, dtype):
     return v / jnp.maximum(vn, 1.0), lam
 
 
-@partial(jax.jit, static_argnames=("iters", "tol", "band_rows"))
+_BOX_SWEEPS = 8
+_LINF_DUAL_K = 12       # free rows in the linf dual coordinate polish
+_LINF_DUAL_SWEEPS = 4
+
+
+def _box_newton_step(H, b, d: int, dtype):
+    """Batched min_{||v||_inf <= 1} 0.5 v^T H v + b^T v (the linf-ball
+    model subproblem, r5) by projected Newton with MASKED-IDENTITY
+    reduced solves: clamped coordinates (at +-1 with an outward-pushing
+    gradient) pin to their bound, and the free subsystem solves as a
+    full dense d x d system whose clamped rows/cols are replaced by the
+    identity — one shared d-unrolled Cholesky serves every row despite
+    per-row active sets.  Each sweep picks the best of {stay, full
+    projected step, half step} on the QUADRATIC MODEL, so sweeps are
+    monotone in the model; global f_mu descent is the outer line
+    search's job, and solve accuracy only affects convergence SPEED —
+    the duality-gap certificate stays rigorous regardless.
+
+    Returns (v, 0-multiplier) matching _ball_newton_step's signature
+    (the multiplier is consumed only by the l2-specific f32
+    certificate, which the linf path does not use)."""
+    eye = jnp.eye(d, dtype=dtype)
+    tr = jnp.trace(H, axis1=-2, axis2=-1)
+    damp = (jnp.finfo(dtype).eps * (tr / d + 1.0)
+            + jnp.asarray(1e-30, dtype))
+    Hd = H + damp[..., None, None] * eye
+    diag = jnp.diagonal(Hd, axis1=-2, axis2=-1)
+    v0 = jnp.clip(-b / jnp.maximum(diag, 1e-30), -1.0, 1.0)
+
+    def mval(u):
+        return (0.5 * jnp.einsum("...i,...ij,...j->...", u, Hd, u,
+                                 precision=_HI)
+                + jnp.sum(b * u, axis=-1))
+
+    def sweep(_, v):
+        grad = jnp.einsum("...ij,...j->...i", Hd, v, precision=_HI) + b
+        at_hi = v >= 1.0 - 1e-12
+        at_lo = v <= -1.0 + 1e-12
+        clamped = ((at_hi & (grad < 0.0)) | (at_lo & (grad > 0.0)))
+        Mf = jnp.logical_not(clamped).astype(dtype)
+        MM = Mf[..., :, None] * Mf[..., None, :]
+        Ht = Hd * MM + (1.0 - MM) * eye      # clamped rows/cols -> I
+        rhs = -(grad * Mf)
+        L = _chol_unrolled(Ht, d)
+        w = _solve_lower(L, rhs, d)
+        s = jnp.stack(_solve_upper(L, w, d), axis=-1) * Mf
+        # Projected-gradient safeguard: when the masked Newton step
+        # stagnates (corner cycling, near-singular free blocks), a
+        # diagonal-scaled PG step still makes progress on the model.
+        s_pg = -grad / jnp.maximum(diag, 1e-30)
+        # Backtracking ladder along the PROJECTED Newton arc: when the
+        # unconstrained minimizer lies far outside the box, clip(v + s)
+        # can be catastrophically bad while a fractional step along the
+        # same direction lands on the right face (measured: the
+        # {1, 1/2} ladder crawled at kappa ~ 7e2; the geometric ladder
+        # converges in a few sweeps).
+        cands = [v] + [jnp.clip(v + a * s, -1.0, 1.0)
+                       for a in (1.0, 0.5, 0.25, 0.125, 1 / 16, 1 / 64,
+                                 1 / 256)] +                 [jnp.clip(v + s_pg, -1.0, 1.0),
+                 jnp.clip(v + 0.25 * s_pg, -1.0, 1.0)]
+        ms = jnp.stack([mval(u) for u in cands])
+        best = jnp.argmin(ms, axis=0)
+        v = jnp.take_along_axis(
+            jnp.stack(cands), best[None, ..., None], axis=0)[0]
+        # Exact cyclic coordinate descent pass: each 1-D box-QP update
+        # v_j <- clip(v_j - grad_j / H_jj) is exact and monotone, so
+        # the sweep cannot stall at a non-stationary point (measured:
+        # the candidate steps alone left 0.79 normalized excess on a
+        # 200-QP fuzz; with the CD pass the worst is ~1e-9).
+        g = jnp.einsum("...ij,...j->...i", Hd, v, precision=_HI) + b
+        for j in range(d):
+            vj_new = jnp.clip(v[..., j] - g[..., j]
+                              / jnp.maximum(diag[..., j], 1e-30),
+                              -1.0, 1.0)
+            g = g + (vj_new - v[..., j])[..., None] * Hd[..., :, j]
+            v = v.at[..., j].set(vj_new)
+        return v
+
+    v = jax.lax.fori_loop(0, _BOX_SWEEPS, sweep, v0)
+    return v, jnp.zeros(b.shape[:-1], dtype)
+
+
+def _dual_polish_linf(u, z, y, R, mask, X, d: int):
+    """Repair the linf-ball LAD dual candidate,
+    D(u) = -u^T y - ||Z^T u||_1 over |u_i| <= 1/2 (r5).
+
+    On degenerate prefixes (interpolation/kink faces — common under the
+    linf ball at small prefixes) the IRLS-KKT candidate's kink rows get
+    essentially arbitrary values from psi = clip(r/mu) and the gap
+    saturates even though the PRIMAL iterate is exact.  Two-stage
+    repair on the K smallest-|r| in-prefix rows:
+
+    1. KKT LSTSQ INIT: the optimal kink duals solve the stationarity
+       system  Z_A^T u_A = -(g_out + n)  with n in the box normal cone
+       at X (supported on |X_j| = 1).  Dropping the box-active
+       coordinates (their n_j is free) gives the K x K normal-equation
+       solve  (Z_A P Z_A^T) u_A = -Z_A P g_out, P = diag(|X_j| < 1).
+       This supplies the COORDINATED cancelling values a pure
+       coordinate ascent cannot reach from a cold start (moving any
+       single u_k alone always loses when ||z_k||_1 > |y_k|).
+    2. COORDINATE-EXACT SWEEPS from both that init and the incoming
+       candidate: each 1-D problem is piecewise linear in u_k with
+       breakpoints at -g_j^{-k}/z_kj, solved exactly by enumeration.
+
+    The better final D wins per row.  Every candidate is feasible by
+    construction (clipped), so the resulting gap stays rigorous."""
+    rows = u.shape[0]
+    dtype = u.dtype
+    K = min(_LINF_DUAL_K, z.shape[0])
+    score = jnp.where(mask > 0, jnp.abs(R), jnp.inf)
+    _, idx = jax.lax.top_k(-score, K)                   # (rows, K)
+    m_A = jnp.take_along_axis(mask, idx, axis=1)
+    Z_A = z[idx]                                        # (rows, K, d)
+    y_A = y[idx] * m_A
+    row_ix = jnp.arange(rows)[:, None]
+
+    # Shared off-kink block: the exact inactive dual 0.5*sign(r).
+    u_out = (0.5 * jnp.sign(R) * mask).at[row_ix, idx].set(0.0)
+    q = jnp.matmul(u_out, z, precision=_HI)             # (rows, d)
+
+    # Stage 1: KKT lstsq inits for the kink block, at a LADDER of kink
+    # thresholds.  Rows in idx with |r| clearly nonzero have their dual
+    # PINNED at 0.5*sign(r) — freeing them makes the stationarity
+    # system degenerate (u = 0 solves it) — but "clearly nonzero" is
+    # scale-dependent, so each tau pins |r| > tau rows and solves the
+    # remaining free block; the best final D wins.
+    r_A = jnp.take_along_axis(R, idx, axis=1)
+    u_pin = 0.5 * jnp.sign(r_A) * m_A
+    P = (jnp.abs(X) < 1.0 - 1e-9).astype(dtype)         # (rows, d) free
+    ZP = Z_A * P[:, None, :]
+    G0 = jnp.einsum("rkd,rld->rkl", ZP, Z_A, precision=_HI)
+    eyeK = jnp.eye(K, dtype=dtype)
+    trG = jnp.trace(G0, axis1=-2, axis2=-1)
+    ridge = (1e-10 * (trG / K + 1.0))[..., None, None] * eyeK
+    scale = jnp.maximum(jnp.max(jnp.abs(R), axis=1, keepdims=True), 1.0)
+
+    def kkt_init(tau):
+        F = ((jnp.abs(r_A) <= tau * scale).astype(dtype)) * m_A  # free
+        q_eff = q + jnp.sum(((1.0 - F) * u_pin)[..., None] * Z_A, axis=1)
+        FF = F[..., :, None] * F[..., None, :]
+        G = G0 * FF + (1.0 - FF) * eyeK + ridge
+        rhs = -jnp.einsum("rkd,rd->rk", ZP, q_eff, precision=_HI) * F
+        L = _chol_unrolled(G, K)
+        w = _solve_lower(L, rhs, K)
+        uA = jnp.clip(jnp.stack(_solve_upper(L, w, K), axis=-1),
+                      -0.5, 0.5)
+        return (F * uA + (1.0 - F) * u_pin) * m_A
+
+    uA_in = jnp.take_along_axis(u, idx, axis=1) * m_A
+
+    def sweeps(uA):
+        def sweep(_, uA):
+            g = q + jnp.sum(uA[..., None] * Z_A, axis=1)
+            for k in range(K):
+                zk = Z_A[:, k]                          # (rows, d)
+                yk = y_A[:, k]
+                gb = g - uA[:, k, None] * zk
+                cands = [jnp.full_like(yk, -0.5), jnp.full_like(yk, 0.5),
+                         uA[:, k]]
+                for j in range(d):
+                    zkj = zk[:, j]
+                    safe = jnp.abs(zkj) > 1e-30
+                    tj = -gb[:, j] / jnp.where(safe, zkj, 1.0)
+                    cands.append(jnp.clip(jnp.where(safe, tj, 0.0),
+                                          -0.5, 0.5))
+
+                def h(t):
+                    return (-t * yk - jnp.sum(
+                        jnp.abs(gb + t[:, None] * zk), axis=-1))
+                hs = jnp.stack([h(t) for t in cands])
+                tn = jnp.take_along_axis(
+                    jnp.stack(cands), jnp.argmax(hs, axis=0)[None, :],
+                    axis=0)[0] * m_A[:, k]
+                g = gb + tn[:, None] * zk
+                uA = uA.at[:, k].set(tn)
+            return uA
+        return jax.lax.fori_loop(0, _LINF_DUAL_SWEEPS, sweep, uA)
+
+    ym = y[None, :] * mask
+
+    def D_of(uA):
+        uf = u_out.at[row_ix, idx].add(uA * m_A)
+        g = jnp.matmul(uf, z, precision=_HI)
+        return (-jnp.sum(uf * ym, axis=1)
+                - jnp.sum(jnp.abs(g), axis=-1)), uf
+
+    best_D, best_u = D_of(sweeps(uA_in))
+    for tau in (1e-2, 1e-4, 1e-6):
+        Dk, uk = D_of(sweeps(kkt_init(tau)))
+        take = Dk > best_D
+        best_D = jnp.where(take, Dk, best_D)
+        best_u = jnp.where(take[:, None], uk, best_u)
+    return best_u
+
+
+@partial(jax.jit, static_argnames=("iters", "tol", "band_rows", "norm"))
 def ssn_all_prefixes(
     z: jnp.ndarray,
     y: jnp.ndarray,
@@ -262,20 +462,33 @@ def ssn_all_prefixes(
     state0=None,
     band_lo=None,
     band_rows: Optional[int] = None,
+    norm: str = "l2",
 ):
-    """Solve the l2-ball exact-FTL program for every prefix at once by
+    """Solve the norm-ball exact-FTL program for every prefix at once by
     Huber-continuation semismooth Newton.
 
     Interface-compatible with models.exact_ftl._admm_all_prefixes:
     returns (X (rows, d), res (rows,), state) where ``res`` is a
     RIGOROUS normalized duality gap min(f - D(u), f)/(1 + f) — D(u) the
-    l2-ball LAD dual at a refined feasible dual candidate — used with
+    norm-ball LAD dual at a refined feasible dual candidate — used with
     the same fail_tol semantics as the ADMM's consensus residual, and
     ``state`` = (X, mu) continues a previous call (the iteration is
     Markov in it).  ``iters`` caps NEWTON steps (each worth ~25-100x an
-    ADMM iteration in progress, ~4x in cost)."""
+    ADMM iteration in progress, ~4x in cost).
+
+    ``norm``: 'l2' (More-Sorensen ball-TRS subproblems) or 'linf' (r5:
+    projected-Newton box subproblems, dual D(u) = -u^T y - ||Z^T u||_1;
+    f64 only — the compensated f32 certificate machinery is l2-tuned).
+    The l1 BALL is deliberately unsupported here: its model subproblem
+    has different face geometry, and on contract data the l1 closed-form
+    certificate covers every cell a priori (models/linear_regime.py), so
+    the general-solver demand is the banded ADMM's."""
     T, d = z.shape
     dtype = z.dtype
+    if norm not in ("l2", "linf"):
+        raise NotImplementedError(
+            f"ssn_all_prefixes: norm={norm!r} unsupported (l2/linf)")
+    ball_step = _ball_newton_step if norm == "l2" else _box_newton_step
     # Compensated certificate (ops/df32.py): in f32 the plain duality-gap
     # evaluation has an irreducible ~1e-2 noise floor — the ~2e-7 absolute
     # error of an f32 residual dot is amplified by 1/mu (~5e4) in the dual
@@ -283,6 +496,9 @@ def ssn_all_prefixes(
     # Double-word residuals + pairwise double-word sums push the floor to
     # ~1e-6, making f32-on-TPU solves certifiable (f64 needs none of it).
     comp = dtype == jnp.dtype(jnp.float32)
+    if comp and norm != "l2":
+        raise NotImplementedError(
+            "f32 SSN certificate is l2-only; run linf SSN under x64")
     if band_rows is None:
         rows, lo = T, jnp.zeros((), jnp.int32)
     else:
@@ -333,10 +549,10 @@ def ssn_all_prefixes(
         # Same gradient either way; the line search picks the winner.
         H1 = jnp.matmul(w_irls, zz, precision=_HI).reshape(rows, d, d)
         H2 = jnp.matmul(w_hub, zz, precision=_HI).reshape(rows, d, d)
-        v1, _ = _ball_newton_step(
+        v1, _ = ball_step(
             H1, g - jnp.einsum("rij,rj->ri", H1, X, precision=_HI),
             d, dtype)
-        v2, _ = _ball_newton_step(
+        v2, _ = ball_step(
             H2, g - jnp.einsum("rij,rj->ri", H2, X, precision=_HI),
             d, dtype)
         # Batched line search on the true Huber objective over both
@@ -398,9 +614,20 @@ def ssn_all_prefixes(
             R_new = (Q_new - y[None, :]) * mask
             f_new = 0.5 * jnp.sum(jnp.abs(R_new) * mask, axis=1)
             u = jnp.clip(w_irls * (Qv1 - Q) + 0.5 * psi, -0.5, 0.5) * mask
+            # Dual penalty = support function of the ball at -Z^T u:
+            # the DUAL norm — ||.||_2 for the l2 ball, ||.||_1 for linf.
+            if norm != "l2":
+                # Degenerate kink rows make the raw IRLS-KKT candidate
+                # weak under linf (box corners + interpolation faces);
+                # the coordinate polish repairs exactly those rows and
+                # keeps the gap rigorous (feasible by construction).
+                u = _dual_polish_linf(u, z, y, R, mask, X_new, d)
             g_u = jnp.matmul(u, z, precision=_HI)
-            D = (-jnp.sum(u * (y[None, :] * mask), axis=1)
-                 - jnp.linalg.norm(g_u, axis=-1))
+            if norm == "l2":
+                pen = jnp.linalg.norm(g_u, axis=-1)
+            else:
+                pen = jnp.sum(jnp.abs(g_u), axis=-1)
+            D = (-jnp.sum(u * (y[None, :] * mask), axis=1) - pen)
             gap = jnp.minimum(f_new - D, f_new)
             res = jnp.maximum(gap, 0.0) / (1.0 + f_new)
             mu_floor = 0.1 * tol
@@ -626,19 +853,21 @@ def ssn_all_prefixes(
     return state[0], res, state
 
 
-@partial(jax.jit, static_argnames=("iters", "tol"))
-def ssn_full(z, y, *, iters: int = 80, tol: float = 2e-4, state0=None):
+@partial(jax.jit, static_argnames=("iters", "tol", "norm"))
+def ssn_full(z, y, *, iters: int = 80, tol: float = 2e-4, state0=None,
+             norm: str = "l2"):
     """Single full-sequence solve (the exact comparator), same method.
     Returns (x, res, state)."""
     T, d = z.shape
     X, res, state = _ssn_rows_full(z, y, iters=iters, tol=tol,
-                                   state0=state0)
+                                   state0=state0, norm=norm)
     return X[0], res[0], state
 
 
-def _ssn_rows_full(z, y, *, iters, tol, state0):
+def _ssn_rows_full(z, y, *, iters, tol, state0, norm="l2"):
     # One-row batch through the banded machinery (band covering only the
     # final prefix) keeps a single compiled formulation.
     T, d = z.shape
     return ssn_all_prefixes(z, y, iters=iters, tol=tol,
-                            state0=state0, band_lo=T - 1, band_rows=1)
+                            state0=state0, band_lo=T - 1, band_rows=1,
+                            norm=norm)

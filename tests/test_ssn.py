@@ -173,14 +173,15 @@ def test_ssn_fuzz_matches_admm_after_polish(seed):
 
 def test_ssn_failure_contract_and_validation():
     """Starved Newton budget surfaces through the same raise/sentinel
-    contract as the ADMM; ssn rejects non-l2 norms."""
+    contract as the ADMM; ssn rejects the l1 ball (r5: linf is now
+    supported — see test_exact_ftl_ssn_linf_end_to_end)."""
     z, y = _hard_instance(T=40, seed=5)
     starved = ExactFTL(d=5, T_max=40, norm="l2", method="ssn", iters=1,
                        fail_tol=1e-6, allow_linear=False)
     with pytest.raises(RuntimeError, match="failed to converge"):
         starved.solve_full(z, y)
-    with pytest.raises(ValueError, match="l2"):
-        ExactFTL(d=5, T_max=40, norm="linf", method="ssn")
+    with pytest.raises(ValueError, match="l2"):  # l1 stays ADMM-only
+        ExactFTL(d=5, T_max=40, norm="l1", method="ssn")
     with pytest.raises(ValueError, match="method"):
         ExactFTL(d=5, T_max=40, method="nope")
 
@@ -311,3 +312,119 @@ def test_auto_routes_ooc_to_ssn_without_x64():
         ev._band_programs.cache_clear()
     assert calls["n"] > 0, "auto failed to route OOC cells to f32 SSN"
     assert audit["cells_ssn"] > 0 and audit["cells_admm"] == 0, audit
+
+
+# ---------------- linf-ball SSN (round 5) ----------------
+
+def _lp_linf(z, y):
+    from scipy.optimize import linprog
+
+    T, d = z.shape
+    A = np.block([[z, -np.eye(T)], [-z, -np.eye(T)]])
+    b = np.concatenate([y, -y])
+    c = np.concatenate([np.zeros(d), 0.5 * np.ones(T)])
+    res = linprog(c, A_ub=A, b_ub=b, bounds=[(-1, 1)] * d + [(0, None)] * T,
+                  method="highs")
+    return res.x[:d], res.fun
+
+
+def test_box_newton_step_matches_reference_qp():
+    """The linf model subproblem solver (projected Newton + arc ladder +
+    exact CD pass) reaches the reference box-QP optimum across a
+    conditioning fuzz; inexactness only slows the outer loop, but the
+    solver must be reliably NEAR-exact for the Newton model to bite."""
+    import jax.numpy as jnp
+    from scipy.optimize import minimize
+
+    from online_convex_optimization_tpu.models.ssn import _box_newton_step
+
+    rng = np.random.default_rng(11)
+    d, N = 5, 64
+    Hs, bs = [], []
+    for _ in range(N):
+        A = rng.normal(size=(d, d)) * (10.0 ** rng.uniform(-2, 1))
+        Hs.append(A @ A.T + 10.0 ** rng.uniform(-6, 0) * np.eye(d))
+        bs.append(rng.normal(size=d) * (10.0 ** rng.uniform(-1, 1)))
+    v = np.asarray(_box_newton_step(jnp.asarray(np.stack(Hs)),
+                                    jnp.asarray(np.stack(bs)), d,
+                                    jnp.float64)[0])
+    assert np.abs(v).max() <= 1.0 + 1e-12
+    bad = 0
+    for i in range(N):
+        f = lambda x: 0.5 * x @ Hs[i] @ x + bs[i] @ x
+        ref = minimize(f, np.zeros(d), jac=lambda x: Hs[i] @ x + bs[i],
+                       bounds=[(-1, 1)] * d, method="L-BFGS-B",
+                       options={"ftol": 1e-15, "gtol": 1e-12,
+                                "maxiter": 500})
+        if (f(v[i]) - ref.fun) / (1.0 + abs(ref.fun)) > 1e-6:
+            bad += 1
+    assert bad <= 2, f"{bad}/{N} box QPs solved poorly"
+
+
+def test_ssn_linf_matches_lp_objectives():
+    """linf-ball SSN prefix solves hit the HiGHS LP optima; the duality
+    gap residual is RIGOROUS (never below the true suboptimality)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("linf SSN is x64-only")
+    from online_convex_optimization_tpu.models.ssn import ssn_all_prefixes
+
+    rng = np.random.default_rng(3)
+    T, d = 40, 5
+    z = 2.0 * rng.normal(size=(T, d))
+    y = np.sign(z @ rng.normal(size=d) + 0.5 * rng.normal(size=T))
+    y[y == 0] = 1.0
+    X, res, _ = ssn_all_prefixes(jnp.asarray(z), jnp.asarray(y),
+                                 iters=300, tol=1e-6, norm="linf")
+    X = np.asarray(X)
+    res = np.asarray(res)
+    for t in range(1, T + 1):
+        assert np.abs(X[t - 1]).max() <= 1.0 + 1e-10
+        f_ssn = 0.5 * np.abs(z[:t] @ X[t - 1] - y[:t]).sum()
+        _, f_lp = _lp_linf(z[:t], y[:t])
+        # Primal quality: certified rows must be within their gap of f*.
+        true_sub = (f_ssn - f_lp) / (1.0 + f_ssn)
+        assert res[t - 1] >= true_sub - 1e-9, (t, res[t - 1], true_sub)
+        if res[t - 1] <= 2e-4:
+            assert f_ssn <= f_lp + 2e-4 * (1.0 + f_lp) + 1e-9, t
+    assert (res <= 2e-4).mean() >= 0.9
+    assert np.median(res) <= 1e-6
+
+
+def test_exact_ftl_ssn_linf_end_to_end():
+    """ExactFTL(method='ssn', norm='linf') produces LP-grade prefix
+    objectives through the full prefix_actions + polish pipeline."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("linf SSN is x64-only")
+    from online_convex_optimization_tpu.models.exact_ftl import ExactFTL
+
+    rng = np.random.default_rng(5)
+    T, d = 28, 5
+    z = 1.5 * rng.normal(size=(T, d))
+    y = np.sign(z @ rng.normal(size=d))
+    y[y == 0] = 1.0
+    # fail_tol at the measured linf certification envelope (~96% of
+    # prefixes certify at 2e-4; the tail's rigorous gaps reach ~5e-3 —
+    # the PRIMAL there is still LP-grade, as asserted below).
+    m = ExactFTL(d=d, T_max=T, norm="linf", method="ssn", fail_tol=3e-2)
+    acts = m.prefix_actions(z, y)
+    good = 0
+    for t in range(1, T + 1):
+        f_m = 0.5 * np.abs(z[:t] @ acts[t] - y[:t]).sum()
+        _, f_lp = _lp_linf(z[:t], y[:t])
+        assert f_m <= f_lp + 3e-2 * (1 + f_lp), (t, f_m, f_lp)
+        good += f_m <= f_lp + 1e-6 + 1e-6 * f_lp
+    assert good >= 0.9 * T, good
+
+
+def test_ssn_l1_norm_raises():
+    import jax.numpy as jnp
+
+    from online_convex_optimization_tpu.models.ssn import ssn_all_prefixes
+
+    with pytest.raises(NotImplementedError):
+        ssn_all_prefixes(jnp.zeros((4, 5)), jnp.zeros(4), norm="l1")
