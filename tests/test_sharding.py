@@ -282,3 +282,32 @@ def test_sharded_synthetic_g_seed_block_guard():
         sharded_synthetic_g(make_mesh(4, 2), T=16, eta_grid=[1.0, 2.0],
                             blocks_per_device=1025, lane_batch=16,
                             regret_fn=_fake_synth_regrets)
+
+
+def test_three_axis_mesh_matches_local_and_two_axis():
+    """make_mesh3 (host, data, hyper) runs the SAME axis-agnostic sweep
+    programs (r5): max/stats over a 3-axis mesh equal the local batched
+    results and the 2-axis mesh's answers exactly (pmax) / to fp
+    tolerance (psum order)."""
+    from online_convex_optimization_tpu.parallel.mesh import make_mesh3
+
+    z, y = _batch(16, T=48, seed=13)
+    mesh3 = make_mesh3(2, 2, 2)
+    mesh2 = make_mesh(4, 2)
+
+    g3 = float(sharded_max_regret(mesh3, z, y, 1.3))
+    g2 = float(sharded_max_regret(mesh2, z, y, 1.3))
+    g_loc = float(jnp.max(simulate_linear_batch(z, y, 0, 1.3).regret))
+    assert g3 == g2 == g_loc
+
+    s3 = sharded_regret_stats(mesh3, z, y, 0, 1.3)
+    m3, ci3 = mean_and_ci(s3)
+    r_loc = np.asarray(simulate_linear_batch(z, y, 0, 1.3).regret)
+    m_loc, ci_loc = mean_ci(r_loc)
+    np.testing.assert_allclose(float(m3), m_loc, rtol=1e-12)
+    np.testing.assert_allclose(float(ci3), ci_loc, rtol=1e-9)
+
+    th = jnp.full((16,), 3.0, z.dtype)
+    sm3 = np.asarray(sharded_smart_regrets(mesh3, z, y, th, 1.3))
+    sm_loc = np.asarray(simulate_smart_batch(z, y, th, 1.3, None).regret)
+    np.testing.assert_allclose(sm3, sm_loc, rtol=1e-12)
