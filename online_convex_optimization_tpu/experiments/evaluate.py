@@ -311,10 +311,12 @@ def _band_programs(T_max: int, norm: str, iters: int,
         # escalation contract, which continues from saved state).
         from online_convex_optimization_tpu.models.ssn import (
             ssn_all_prefixes)
-        # linf SSN is x64-only (the compensated f32 certificate is
-        # l2-tuned); ssn_all_prefixes raises on f32+linf, so force f64
-        # for non-l2 regardless of the ambient flag.
-        sdt = jnp.float64 if (ssn_f64 or norm != "l2") else jnp.float32
+        # norm is always 'l2' here: use_ssn with any other norm is
+        # rejected at the evaluate_stream_exact entry (the pipeline
+        # keeps the ADMM for linf — see the gate's measured rationale),
+        # and auto_ssn is gated on norm == 'l2'.
+        assert norm == "l2", norm
+        sdt = jnp.float64 if ssn_f64 else jnp.float32
 
         def _band(z1, y1, lo, st=None, budget=_SSN_NEWTON_BUDGET):
             return ssn_all_prefixes(z1.astype(sdt), y1.astype(sdt),

@@ -415,7 +415,15 @@ class ExactFTL:
                 # ambient flag; the f32 input VALUES are preserved.
                 # (linf always takes this branch — its f32 certificate
                 # machinery does not exist; ssn_all_prefixes raises.)
-                with jax.enable_x64():
+                # On a TPU backend the f64 solve must run on the HOST
+                # CPU device — TPUs have no native f64, and shipping
+                # f64 operands to the chip either fails to lower or
+                # crawls through the remote-compile relay (r5 review).
+                import contextlib
+                dev_ctx = (jax.default_device(jax.devices("cpu")[0])
+                           if jax.default_backend() == "tpu"
+                           else contextlib.nullcontext())
+                with jax.enable_x64(), dev_ctx:
                     return ssn_all_prefixes(
                         jnp.asarray(np.asarray(z, np.float64)),
                         jnp.asarray(np.asarray(y, np.float64)),
@@ -446,7 +454,11 @@ class ExactFTL:
             iters = max(iters, 2000)  # see _band_solve: slow-tail cover
             from online_convex_optimization_tpu.models.ssn import ssn_full
             if jax.default_backend() != "tpu" or self.norm != "l2":
-                with jax.enable_x64():  # see _band_solve: f64 preferred
+                import contextlib
+                dev_ctx = (jax.default_device(jax.devices("cpu")[0])
+                           if jax.default_backend() == "tpu"
+                           else contextlib.nullcontext())
+                with jax.enable_x64(), dev_ctx:  # see _band_solve
                     return ssn_full(
                         jnp.asarray(np.asarray(z, np.float64)),
                         jnp.asarray(np.asarray(y, np.float64)),

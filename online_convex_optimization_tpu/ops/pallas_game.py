@@ -1351,9 +1351,19 @@ def pack_per_seq(vals: jnp.ndarray, S: int) -> jnp.ndarray:
 _D_KERNEL_MAX = 512
 
 
-def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32):
+def kernel_envelope(B: int, T: int, d: int, dtype=jnp.float32,
+                    per_lane_eta: bool = False):
     """None if the packed game kernel is the right engine for this shape;
-    otherwise a human-readable reason for taking the XLA scan."""
+    otherwise a human-readable reason for taking the XLA scan.
+
+    ``per_lane_eta``: the (B,)-eta path runs the PER-LANE-ETA kernel
+    (_game_eta_kernel), which only exists in register-state form — its
+    envelope stays at the register boundary d <= _D_REG_STATE_MAX; the
+    scalar-eta kernels have VMEM-state twins through _D_KERNEL_MAX."""
+    if per_lane_eta and d > _D_REG_STATE_MAX:
+        return (f"d={d} past the register-state boundary "
+                f"(d<={_D_REG_STATE_MAX}) and the per-lane-eta kernel "
+                f"has no VMEM-state twin")
     if d > _D_KERNEL_MAX:
         return (f"d={d} past the measured kernel envelope "
                 f"(d<={_D_KERNEL_MAX}; the kernel still led the scan "
@@ -1380,7 +1390,8 @@ def simulate_linear_auto(z, y, alg_flag: int, eta0, *,
     z = jnp.asarray(z)
     y = jnp.asarray(y)
     B, T, d = z.shape
-    if kernel_envelope(B, T, d) is None:
+    per_lane = getattr(jnp.asarray(eta0), "ndim", 0) == 1
+    if kernel_envelope(B, T, d, per_lane_eta=per_lane) is None:
         return simulate_linear_pallas_v2(z, y, alg_flag, eta0,
                                          interpret=interpret)
     from online_convex_optimization_tpu.models.linear import (

@@ -253,7 +253,9 @@ def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
     nothing is transferred or stored at any scale.
 
     Returns (len(eta_grid),) worst-case regrets.  Total sequences per eta
-    = data_axis_size * blocks_per_device * 8 * lane_batch.
+    = (product of non-hyper axis sizes) * blocks_per_device * 8 *
+    lane_batch — on a 3-axis mesh the host rows own disjoint seed
+    blocks, so coverage grows with the host axis.
 
     ``regret_fn(seed, eta, *, T, lane_batch, alg_flag, interpret)``
     defaults to the Pallas kernel; injectable because the on-core PRNG has
@@ -284,8 +286,13 @@ def sharded_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
     # Seed blocks are strided by 2^20 in int32 space: block index 4096
     # would wrap to block 0's seed and silently duplicate its sequence
     # population (the kernel itself consumes seed + program*nchunks +
-    # chunk, far below 2^20 at supported shapes).
-    total_blocks = mesh.shape[DATA_AXIS] * total_bpd
+    # chunk, far below 2^20 at supported shapes).  All NON-hyper axes
+    # (data; plus host on 3-axis meshes) own disjoint blocks.
+    n_data_total = 1
+    for ax, size in zip(mesh.axis_names, mesh.devices.shape):
+        if ax != HYPER_AXIS:
+            n_data_total *= int(size)
+    total_blocks = n_data_total * total_bpd
     if total_blocks > (1 << 12):
         raise ValueError(
             f"data_axis * blocks_per_device = {total_blocks} exceeds the "
@@ -304,11 +311,23 @@ def _synthetic_g_program(mesh, T, blocks_per_device, total_bpd, lane_batch,
     # retrace (and remote-recompile) every invocation.  block_offset is a
     # DYNAMIC operand so every slice of a resumable sweep shares this one
     # compile.
+    # Flattened data-shard index over EVERY non-hyper axis (data; plus
+    # host on 3-axis meshes), so host rows own DISJOINT seed blocks and
+    # the reduction covers the whole mesh — mesh-factorization-invariant
+    # like the rest of the sweep programs (r5 code-review finding: the
+    # DATA_AXIS-only version silently duplicated the host rows' data).
+    nh_axes = [ax for ax in mesh.axis_names if ax != HYPER_AXIS]
+    nh_sizes = [int(sz) for ax, sz in
+                zip(mesh.axis_names, mesh.devices.shape)
+                if ax != HYPER_AXIS]
+
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P(HYPER_AXIS), P()),
              out_specs=P(HYPER_AXIS), check_vma=False)
     def run(etas_loc, offset):
-        dev = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        dev = jnp.int32(0)
+        for ax, sz in zip(nh_axes, nh_sizes):
+            dev = dev * sz + jax.lax.axis_index(ax).astype(jnp.int32)
 
         def per_eta(eta):
             def body(b, acc):
@@ -323,7 +342,7 @@ def _synthetic_g_program(mesh, T, blocks_per_device, total_bpd, lane_batch,
                                      jnp.float32(-jnp.inf))
 
         g_loc = jax.lax.map(per_eta, etas_loc)
-        return jax.lax.pmax(g_loc, DATA_AXIS)
+        return jax.lax.pmax(g_loc, tuple(nh_axes))
 
     return run
 
@@ -349,15 +368,44 @@ def resumable_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
     Returns (len(eta_grid),) worst-case regrets as float32.
     """
     from online_convex_optimization_tpu.utils import checkpointing as ckpt
+    from online_convex_optimization_tpu.utils.logging_utils import get_logger
 
     etas = np.asarray(eta_grid, np.float32)
+    # Provenance key (same discipline as gt._load_g_cache, round-2
+    # ADVICE): resuming accumulators produced under a DIFFERENT config
+    # would silently blend incomparable maxima.  The key is stored as a
+    # hashed array leaf alongside the state; mismatch recomputes from
+    # scratch with a warning.
+    import hashlib
+    import json as _json
+    key_str = _json.dumps({
+        "T": int(T), "etas": [float(v) for v in etas],
+        "blocks_per_device": int(blocks_per_device),
+        "lane_batch": int(lane_batch), "seed0": int(seed0),
+        "alg_flag": int(alg_flag),
+        "mesh": {str(k): int(v) for k, v in
+                 zip(mesh.axis_names, mesh.devices.shape)},
+    }, sort_keys=True)
+    key_hash = np.frombuffer(
+        hashlib.sha256(key_str.encode()).digest()[:8], np.int64)[0]
+
     g = np.full(etas.shape, -np.inf, np.float32)
     done = 0
-    state_like = {"g": g, "done": np.asarray(0)}
+    state_like = {"g": g, "done": np.asarray(0),
+                  "key": np.asarray(0, np.int64)}
     if checkpoint_path and ckpt.exists(checkpoint_path):
         st = ckpt.load_pytree(checkpoint_path, state_like)
-        g, done = np.asarray(st["g"], np.float32), int(st["done"])
+        if int(st["key"]) == int(key_hash):
+            g, done = np.asarray(st["g"], np.float32), int(st["done"])
+        else:
+            get_logger().warning(
+                "resumable_synthetic_g: checkpoint %s was produced under "
+                "a different config (key mismatch); recomputing from "
+                "scratch", checkpoint_path)
     while done < blocks_per_device:
+        # NOTE: a ragged last slice (blocks_per_step not dividing
+        # blocks_per_device) compiles a second program (the per-slice
+        # block count is static); pick a divisor to stay on one compile.
         step = min(blocks_per_step, blocks_per_device - done)
         g_slice = sharded_synthetic_g(
             mesh, T=T, eta_grid=eta_grid, blocks_per_device=step,
@@ -368,7 +416,8 @@ def resumable_synthetic_g(mesh: Mesh, *, T: int, eta_grid,
         done += step
         if checkpoint_path:
             ckpt.save_pytree(checkpoint_path,
-                             {"g": g, "done": np.asarray(done)})
+                             {"g": g, "done": np.asarray(done),
+                              "key": np.asarray(key_hash, np.int64)})
     return g
 
 

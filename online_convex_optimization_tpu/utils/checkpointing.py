@@ -24,12 +24,19 @@ def _flatten(tree: Any):
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save a pytree of arrays to ``path`` (.npz fallback, orbax if dir)."""
+    """Save a pytree of arrays to ``path`` (.npz fallback, orbax if dir).
+
+    The .npz write is ATOMIC (tmp + os.replace): checkpoints exist to
+    survive preemption, and a kill during the save itself must leave
+    the previous checkpoint intact rather than a truncated zip (r5
+    code-review finding)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if path.endswith(".npz"):
         leaves, treedef = _flatten(tree)
-        np.savez(path, treedef=json.dumps(str(treedef)),
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, treedef=json.dumps(str(treedef)),
                  **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+        os.replace(tmp, path)
         return
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:

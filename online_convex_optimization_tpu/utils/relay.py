@@ -68,6 +68,22 @@ def compile_stats() -> dict:
     return dict(_STATS)
 
 
+_PROBE = None
+
+
+def _probe_fn():
+    """Process-wide jitted probe: a fresh jit per call would retrace
+    AND remote-compile every snapshot (30-300 s through a congested
+    relay — the probe would then dominate the artifact it stamps; r5
+    code-review finding).  One compile per process."""
+    import jax
+
+    global _PROBE
+    if _PROBE is None:
+        _PROBE = jax.jit(lambda x: x + 1.0)
+    return _PROBE
+
+
 def dispatch_probe(repeats: int = 5) -> dict:
     """Median/min host-fetch round trip of a trivial pre-warmed jit.
 
@@ -76,12 +92,11 @@ def dispatch_probe(repeats: int = 5) -> dict:
     relay this is the ~20-40 ms dispatch floor; congestion shows up
     directly.  Runs on the default backend.
     """
-    import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda x: x + 1.0)
+    f = _probe_fn()
     x = jnp.zeros((1,), jnp.float32)
-    np.asarray(f(x))  # compile + warm (host fetch = honest fence)
+    np.asarray(f(x))  # compile once per process + warm (honest fence)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -19,17 +19,32 @@ def main():
     b = json.load(open(b_path))
 
     bad = 0
-    if a["g_emp"] != b["g_emp"]:
-        for k in a["g_emp"]:
-            if a["g_emp"][k] != b["g_emp"].get(k):
-                print(f"g_emp[{k}]: {a['g_emp'][k]!r} != "
-                      f"{b['g_emp'].get(k)!r}")
-                bad += 1
+    # Closed audit: key-set asymmetry in EITHER direction is a mismatch
+    # (a superset artifact must not pass as "bit-identical").
+    if set(a["g_emp"]) != set(b["g_emp"]):
+        print(f"g_emp key sets differ: only-a="
+              f"{sorted(set(a['g_emp']) - set(b['g_emp']))} only-b="
+              f"{sorted(set(b['g_emp']) - set(a['g_emp']))}")
+        bad += 1
+    for k in a["g_emp"]:
+        if a["g_emp"][k] != b["g_emp"].get(k):
+            print(f"g_emp[{k}]: {a['g_emp'][k]!r} != "
+                  f"{b['g_emp'].get(k)!r}")
+            bad += 1
+    if set(a["stats"]) != set(b["stats"]):
+        print(f"stats case sets differ: {sorted(a['stats'])} vs "
+              f"{sorted(b['stats'])}")
+        bad += 1
     for case in a["stats"]:
-        for alg in a["stats"][case]:
+        a_algs = a["stats"][case]
+        b_algs = b["stats"].get(case, {})
+        if set(a_algs) != set(b_algs):
+            print(f"stats[{case}] algorithm sets differ")
+            bad += 1
+        for alg in a_algs:
             for field in ("mean", "ci"):
-                va = a["stats"][case][alg][field]
-                vb = b["stats"].get(case, {}).get(alg, {}).get(field)
+                va = a_algs[alg][field]
+                vb = b_algs.get(alg, {}).get(field)
                 if va != vb:
                     print(f"stats[{case}][{alg}][{field}]:")
                     for i, (x, y) in enumerate(zip(va, vb or [])):

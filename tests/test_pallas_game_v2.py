@@ -412,6 +412,14 @@ def test_auto_dispatch_envelope():
     assert kernel_envelope(SEQ_TILE, 32, 5) is None
     reason = kernel_envelope(SEQ_TILE, 32, _D_KERNEL_MAX + 1)
     assert reason is not None and "envelope" in reason
+    # The per-lane-eta kernel has no VMEM-state twin: past the register
+    # boundary a (B,)-eta request must route to the scan (r5 review).
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        _D_REG_STATE_MAX)
+    assert kernel_envelope(SEQ_TILE, 32, _D_REG_STATE_MAX + 1,
+                           per_lane_eta=True) is not None
+    assert kernel_envelope(SEQ_TILE, 32, _D_REG_STATE_MAX,
+                           per_lane_eta=True) is None
 
     rng = np.random.default_rng(11)
     for d in (5, _D_KERNEL_MAX + 8):

@@ -84,7 +84,8 @@ def test_killed_sweep_resumes_bit_equal(tmp_path):
     from online_convex_optimization_tpu.utils.checkpointing import (
         load_pytree)
     state = load_pytree(ckpt, {"g": np.zeros(len(ETAS), np.float32),
-                               "done": np.asarray(0)})
+                               "done": np.asarray(0),
+                               "key": np.asarray(0, np.int64)})
     assert int(state["done"]) == 4, state  # two slices survived, third lost
 
     # 2) resume in-process from the checkpoint; must complete.
@@ -114,3 +115,25 @@ def test_resumable_equals_single_shot_without_preemption(tmp_path):
         mesh, T=32, eta_grid=list(ETAS), blocks_per_device=8,
         lane_batch=16, regret_fn=_fake_synth_regrets), np.float32)
     np.testing.assert_array_equal(g_sliced, g_full)
+
+
+def test_checkpoint_provenance_mismatch_recomputes(tmp_path):
+    """A checkpoint produced under a DIFFERENT config must not be
+    resumed (it would blend incomparable maxima — same guard discipline
+    as gt._load_g_cache): the sweep recomputes from scratch and the
+    answer matches the uninterrupted run."""
+    mesh = make_mesh(4, 2)
+    ck = str(tmp_path / "g.npz")
+    resumable_synthetic_g(mesh, T=16, eta_grid=list(ETAS),
+                          blocks_per_device=4, blocks_per_step=2,
+                          lane_batch=16, checkpoint_path=ck,
+                          regret_fn=_fake_synth_regrets)
+    # Same path, different T: the stale accumulators must be discarded.
+    g = resumable_synthetic_g(mesh, T=32, eta_grid=list(ETAS),
+                              blocks_per_device=4, blocks_per_step=2,
+                              lane_batch=16, checkpoint_path=ck,
+                              regret_fn=_fake_synth_regrets)
+    g_full = np.asarray(sharded_synthetic_g(
+        mesh, T=32, eta_grid=list(ETAS), blocks_per_device=4,
+        lane_batch=16, regret_fn=_fake_synth_regrets), np.float32)
+    np.testing.assert_array_equal(g, g_full)

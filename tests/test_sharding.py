@@ -311,3 +311,27 @@ def test_three_axis_mesh_matches_local_and_two_axis():
     sm3 = np.asarray(sharded_smart_regrets(mesh3, z, y, th, 1.3))
     sm_loc = np.asarray(simulate_smart_batch(z, y, th, 1.3, None).regret)
     np.testing.assert_allclose(sm3, sm_loc, rtol=1e-12)
+
+
+def test_synthetic_g_three_axis_disjoint_blocks():
+    """On a (host, data, hyper) mesh every non-hyper shard owns DISJOINT
+    seed blocks (r5 review: the DATA_AXIS-only version duplicated host
+    rows' data and never reduced over the host axis): the 3-axis answer
+    equals the 2-axis mesh with the same flattened non-hyper size."""
+    from online_convex_optimization_tpu.parallel.mesh import make_mesh3
+    from online_convex_optimization_tpu.parallel.sweep import (
+        sharded_synthetic_g)
+
+    etas = [0.5, 1.5]
+    g3 = np.asarray(sharded_synthetic_g(
+        make_mesh3(2, 2, 2), T=32, eta_grid=etas, blocks_per_device=2,
+        lane_batch=16, regret_fn=_fake_synth_regrets))
+    g2 = np.asarray(sharded_synthetic_g(
+        make_mesh(4, 2), T=32, eta_grid=etas, blocks_per_device=2,
+        lane_batch=16, regret_fn=_fake_synth_regrets))
+    np.testing.assert_array_equal(g3, g2)
+    # And the explicit 8-block max per eta (4 non-hyper shards x 2).
+    want = [max(float(jnp.max(_fake_synth_regrets(
+        b << 20, float(e), T=32, lane_batch=16, alg_flag=0,
+        interpret=False))) for b in range(8)) for e in etas]
+    np.testing.assert_allclose(g3.astype(np.float64), want, rtol=1e-6)
