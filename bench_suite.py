@@ -302,7 +302,7 @@ def main():
             def body(i, acc):
                 r, _ = smart_regrets_packed(
                     z, y, th, et * (1.0 + 1e-6 * i.astype(jnp.float32)),
-                    lanes_per_program=128, unroll=8)
+                    lanes_per_program=128, unroll=16)
                 return acc + r
             return jnp.sum(jax.lax.fori_loop(0, k, body,
                                              jnp.zeros((S, LB),
