@@ -448,7 +448,7 @@ def main():
                 return play_packed_stream(
                     z, y, np.float32(np.sqrt(2.0)),
                     i.astype(jnp.float32) * T, c,
-                    lanes_per_program=256, unroll=8)
+                    lanes_per_program=128, unroll=16)
             c = jax.lax.fori_loop(0, k, body, carry0)
             return jnp.sum(c[2])
 
