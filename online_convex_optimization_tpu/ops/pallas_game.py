@@ -20,6 +20,13 @@ them at d=5 and paying cross-sublane reductions every step):
     state held in VMEM scratch across chunks, so arbitrary T streams
     through a fixed VMEM budget with the pipeline double-buffering the
     incoming z chunks;
+  - DEFAULT CONFIG (r5, measured under the ~1% scalar fence): the
+    HBM-bound kernels (game/fused/stream/SMART) default to
+    lanes_per_program=128, unroll=16 — +6.9%/+3%/+5.5% over the old
+    512/4 and 256/8 configs (BENCH_DETAILS *_lever_* records).  The
+    compute-bound generation-fused kernel keeps wide lanes (512/4
+    measured 1.7x its 128-lane config) — the preference is per-kernel,
+    not universal;
   - zero-padding (z rows AND y entries zero) is loss- and gradient-neutral
     (q = 0, diff = 0), so heterogeneous horizons need no masks.
 
@@ -392,8 +399,8 @@ def _game_kernel(scale_ref, z_ref, y_ref, cum_ref, theta_ref,
                                     "lanes_per_program", "interpret",
                                     "state", "d_block"))
 def play_packed(z_pack: jnp.ndarray, y_pack: jnp.ndarray, scales: jnp.ndarray,
-                *, alg_flag: int = 0, chunk_t: int = 256, unroll: int = 4,
-                lanes_per_program: int = 4 * LANES, interpret: bool = False,
+                *, alg_flag: int = 0, chunk_t: int = 256, unroll: int = 16,
+                lanes_per_program: int = LANES, interpret: bool = False,
                 state: str = "auto", d_block: int = 32):
     """Run the online game on packed inputs.
 
@@ -780,8 +787,8 @@ def _regret_kernel(scaleh_ref, s2_ref, eta_ref, z_ref, y_ref, out_ref,
                                     "lanes_per_program", "interpret",
                                     "dense", "state", "d_block"))
 def regrets_fused(z_pack, y_pack, eta, *, alg_flag: int = 0,
-                  chunk_t: int = 256, unroll: int = 4,
-                  lanes_per_program: int = 4 * LANES,
+                  chunk_t: int = 256, unroll: int = 16,
+                  lanes_per_program: int = LANES,
                   interpret: bool = False, dense: bool = False,
                   state: str = "auto", d_block: int = 32):
     """Fully fused regret evaluation: game + identity-based comparator in
@@ -944,8 +951,8 @@ def zero_stream_carry(B: int, d: int, S: int):
                    static_argnames=("alg_flag", "chunk_t", "unroll",
                                     "lanes_per_program", "interpret"))
 def play_packed_stream(z_pack, y_pack, eta, t0, carry, *, alg_flag: int = 0,
-                       chunk_t: int = 256, unroll: int = 4,
-                       lanes_per_program: int = 4 * LANES,
+                       chunk_t: int = 256, unroll: int = 16,
+                       lanes_per_program: int = LANES,
                        interpret: bool = False):
     """Advance the streamed game over one packed time chunk.
 
@@ -1023,8 +1030,8 @@ def play_packed_stream(z_pack, y_pack, eta, t0, carry, *, alg_flag: int = 0,
                                     "lanes_per_program", "interpret"))
 def play_packed_stream_many(z_stack, y_stack, eta, t0, carry, *,
                             alg_flag: int = 0, chunk_t: int = 256,
-                            unroll: int = 4,
-                            lanes_per_program: int = 4 * LANES,
+                            unroll: int = 16,
+                            lanes_per_program: int = LANES,
                             interpret: bool = False):
     """Advance the streamed game over N stacked chunks in ONE dispatch.
 

@@ -182,8 +182,8 @@ def _smart_kernel(scaleh_ref, s2_ref, th2_ref, eta_ref, z_ref, y_ref,
                    static_argnames=("chunk_t", "unroll", "lanes_per_program",
                                     "interpret"))
 def smart_regrets_packed(z_pack, y_pack, thresh_pack, eta_pack, *,
-                         chunk_t: int = 256, unroll: int = 4,
-                         lanes_per_program: int = 2 * LANES,
+                         chunk_t: int = 256, unroll: int = 16,
+                         lanes_per_program: int = LANES,
                          interpret: bool = False):
     """Fused SMART regret evaluation on packed sequences.
 
