@@ -324,6 +324,9 @@ def test_vmem_state_matches_reg_and_scan():
 
     rng = np.random.default_rng(21)
     B, T, d = 512, 16, 20
+    # unroll=4 throughout: the test compares STATE residency modes, not
+    # the (default, 4x-slower-to-trace-in-interpret) unroll lever.
+    kw = dict(unroll=4, interpret=True)
     z = rng.normal(size=(B, T, d)).astype(np.float32)
     z /= np.maximum(1.0, np.linalg.norm(z, axis=-1, keepdims=True))
     y = np.where(rng.random((B, T)) < 0.5, -1.0, 1.0).astype(np.float32)
@@ -332,19 +335,19 @@ def test_vmem_state_matches_reg_and_scan():
         want = np.asarray(simulate_linear_batch(
             jnp.asarray(z), jnp.asarray(y), alg, 1.2).regret, np.float32)
         got_v = np.asarray(unpack_result(regrets_fused(
-            zp, yp, 1.2, alg_flag=alg, state="vmem", interpret=True), Bp))
+            zp, yp, 1.2, alg_flag=alg, state="vmem", **kw), Bp))
         got_r = np.asarray(unpack_result(regrets_fused(
-            zp, yp, 1.2, alg_flag=alg, state="reg", interpret=True), Bp))
+            zp, yp, 1.2, alg_flag=alg, state="reg", **kw), Bp))
         np.testing.assert_allclose(got_v, want, atol=2e-4)
         np.testing.assert_allclose(got_v, got_r, atol=1e-5)
     eta = jnp.full((zp.shape[2], zp.shape[3]), 0.9, jnp.float32)
     np.testing.assert_allclose(
-        np.asarray(regrets_fused(zp, yp, eta, state="vmem", interpret=True)),
-        np.asarray(regrets_fused(zp, yp, eta, state="reg", interpret=True)),
+        np.asarray(regrets_fused(zp, yp, eta, state="vmem", **kw)),
+        np.asarray(regrets_fused(zp, yp, eta, state="reg", **kw)),
         atol=1e-5)
     scales = ftrl_scales(T, 1.2)
-    cum_v, th_v = play_packed(zp, yp, scales, state="vmem", interpret=True)
-    cum_r, th_r = play_packed(zp, yp, scales, state="reg", interpret=True)
+    cum_v, th_v = play_packed(zp, yp, scales, state="vmem", **kw)
+    cum_r, th_r = play_packed(zp, yp, scales, state="reg", **kw)
     np.testing.assert_allclose(np.asarray(cum_v), np.asarray(cum_r),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(th_v), np.asarray(th_r),
