@@ -88,16 +88,21 @@ def regression_stream_batch(key, B: int, T: int, d: int = 5,
 
 @partial(jax.jit, static_argnames=("T", "lane_batch", "d", "dtype"))
 def random_packed_batch(key, T: int, lane_batch: int, d: int = 5,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, y_dtype=None):
     """Generate directly in the v2 kernel layout: (T, d, S, lane_batch) z
     and (T, S, lane_batch) y — S * lane_batch sequences total, where S is
-    the dtype's sublane count (8 for f32, 16 for bf16 storage)."""
+    the dtype's sublane count (8 for f32, 16 for bf16 storage).
+
+    ``y_dtype`` (default: ``dtype``) stores the labels independently;
+    ``jnp.int8`` is value-exact (+-1 labels) and the fast choice for the
+    HBM-bound kernels (see ops.pallas_game.pack_sequences)."""
     S = sublanes_for(dtype)
     kz, ky = jax.random.split(key)
     z = jax.random.normal(kz, (T, d, S, lane_batch), jnp.float32)
     norms = jnp.sqrt(jnp.sum(z * z, axis=1, keepdims=True))
     z = (z * (_STRICT / jnp.maximum(norms, 1.0))).astype(dtype)
-    y = jax.random.rademacher(ky, (T, S, lane_batch), jnp.float32).astype(dtype)
+    y = jax.random.rademacher(ky, (T, S, lane_batch), jnp.float32).astype(
+        y_dtype if y_dtype is not None else dtype)
     return z, y
 
 

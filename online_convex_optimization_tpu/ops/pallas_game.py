@@ -1279,11 +1279,18 @@ def regrets_packed_eta(z_pack, y_pack, eta_pack, *, chunk_t: int = 256,
 
 
 def pack_sequences(z: jnp.ndarray, y: jnp.ndarray, dtype=jnp.float32,
-                   *, validate: bool = False):
+                   *, validate: bool = False, y_dtype=None):
     """(B, T, d) / (B, T) -> packed kernel layout; returns (z_pack, y_pack, B).
 
     dtype selects HBM storage: f32 (8 sublanes) or bf16 (16 sublanes, half
     the traffic; labels stay exact, z rows round to bf16).
+
+    y_dtype (default: same as ``dtype``) selects the LABEL stream's
+    storage independently — ``jnp.int8`` is value-exact (labels are
+    {-1, 0, +1} by contract; kernels convert to f32 on read) and cuts
+    per-step HBM traffic 12 -> 11 bytes, measured +4-5% on the
+    HBM-bound kernels (docs/BENCHMARKS.md roofline; the compute-bound
+    SMART kernel gains nothing).
 
     validate=True enforces the identity-kernel data contract on host
     (||z_t||_2 <= 1 per row, y in {-1, 0, +1}) — the framework's builders
@@ -1305,7 +1312,8 @@ def pack_sequences(z: jnp.ndarray, y: jnp.ndarray, dtype=jnp.float32,
     seq_tile = LANES * S
     pad_b = (-B) % seq_tile
     z = jnp.pad(z.astype(dtype), ((0, pad_b), (0, 0), (0, 0)))
-    y = jnp.pad(y.astype(dtype), ((0, pad_b), (0, 0)))
+    y = jnp.pad(y.astype(y_dtype if y_dtype is not None else dtype),
+                ((0, pad_b), (0, 0)))
     Bp = B + pad_b
     nb = Bp // seq_tile
     # (B, T, d) -> (T, d, S, 128*nb): sequence index b = (g, s, l) with the

@@ -434,3 +434,38 @@ def test_auto_dispatch_envelope():
         want = np.asarray(simulate_linear_batch(
             jnp.asarray(z), jnp.asarray(y), 0, 1.0).regret, np.float32)
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_int8_label_stream_is_value_exact():
+    """y_dtype=int8 packing (r5): labels are {-1, 0, +1}, so the int8
+    stream carries the SAME f32 label values into the step math
+    (kernels convert on read; the XLA comparator epilogue casts) — the
+    +4-5% HBM win comes with no numerical change.  On chip the outputs
+    measured BIT-equal (BENCH_DETAILS fused_int8y record); under
+    interpret mode the XLA-CPU backend may fuse the cast into a
+    different FMA grouping, so this test asserts the packed labels are
+    value-identical and the regrets agree to 1-2 ulp."""
+    from online_convex_optimization_tpu.ops.pallas_game import (
+        regrets_fused, regrets_packed)
+
+    z, y = _batch(B=SEQ_TILE, T=32, seed=17)
+    y[:, 30:] = 0.0          # include padding labels
+    z[:, 30:] = 0.0
+    zp, yp, B = pack_sequences(jnp.asarray(z), jnp.asarray(y))
+    zp8, yp8, _ = pack_sequences(jnp.asarray(z), jnp.asarray(y),
+                                 y_dtype=jnp.int8)
+    assert yp8.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(zp), np.asarray(zp8))
+    np.testing.assert_array_equal(np.asarray(yp8, np.float32),
+                                  np.asarray(yp, np.float32))
+    a = np.asarray(regrets_fused(zp, yp, 1.3, unroll=4, interpret=True))
+    b = np.asarray(regrets_fused(zp8, yp8, 1.3, unroll=4, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+    scales = ftrl_scales(32, 1.3)
+    a2 = np.asarray(regrets_packed(zp, yp, scales, unroll=4,
+                                   interpret=True))
+    b2 = np.asarray(regrets_packed(zp8, yp8, scales, unroll=4,
+                                   interpret=True))
+    # The XLA comparator epilogue's T-long sum reassociates with the
+    # fused cast under interpret (a few ulp at regret scale ~3).
+    np.testing.assert_allclose(a2, b2, atol=1e-5)
